@@ -1,0 +1,223 @@
+"""Typed configuration for czechtriever-tpu.
+
+TPU-native replacement for the reference's single argparse Namespace
+(/root/reference/src/options.py:9-266). Instead of threading an untyped
+Namespace through every constructor, we use one frozen-ish dataclass that is
+
+  * constructible from CLI args with ``Config.from_args()`` (parse_known_args
+    semantics, matching src/options.py:264),
+  * JSON round-trippable so it rides along in checkpoints (the reference
+    pickles the Namespace into checkpoint.pth, src/utils.py:67),
+  * hashable-by-value where needed for jit static args.
+
+Flag names and defaults mirror the reference one-to-one so recipes written
+for the reference (README.md:36-62) port directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # --- basic / IO (src/options.py:18-89) ---
+    output_dir: str = "./checkpoint/my_experiments"
+    save_dir: str = "./checkpoint/my_experiments"
+    train_data: List[str] = field(default_factory=list)
+    offsets_file: Optional[str] = None
+    cumsums_file: str = "data/line-offsets.pkl"
+    valid_data: List[str] = field(default_factory=list)
+    val_data_ratio: float = 0.05
+    eval_data: List[str] = field(default_factory=list)
+    eval_datasets: List[str] = field(default_factory=list)
+    eval_datasets_dir: str = "./"
+    orig_sampling: bool = False
+    model_path: str = "none"
+    continue_training: bool = False
+    num_workers: int = 5
+    num_workers_valid: int = 1
+
+    # --- data (src/options.py:91-110) ---
+    chunk_length: int = 256
+    loading_mode: str = "split"
+    data_preprocessed: bool = False
+    lower_case: bool = False
+    normalize_text: bool = False
+    sampling_coefficient: float = 0.0
+    augmentation: str = "none"
+    prob_augmentation: float = 0.0
+    # total token count of the binary stream; None = derive from file size.
+    # (replaces the hard-coded 71,493,853,087 at src/data.py:296)
+    total_tokens: Optional[int] = None
+
+    # --- model (src/options.py:112-139) ---
+    dropout: float = 0.1
+    rho: float = 0.05  # SAM neighborhood size (finetuning.py:75-80)
+    contrastive_mode: str = "moco"
+    queue_size: int = 65536
+    temperature: float = 1.0
+    momentum: float = 0.999
+    distill_weight: float = 0.5
+    moco_train_mode_encoder_k: bool = False
+    eval_normalize_text: bool = False
+    norm_query: bool = False
+    norm_doc: bool = False
+    projection_size: int = 768
+    ratio_min: float = 0.1
+    ratio_max: float = 0.5
+    score_function: str = "dot"
+    retriever_model_id: str = "czert"
+    teacher_model_id: str = "facebook/contriever"
+    translator_model_id: str = "Helsinki-NLP/opus-mt-cs-en"
+    pooling: str = "average"
+    random_init: bool = False
+
+    # --- batching (src/options.py:142-162) ---
+    target_batch_size: int = 2048
+    per_device_batch_size: int = 64  # reference: per_gpu_batch_size
+    per_device_eval_batch_size: int = 256  # reference: per_gpu_eval_batch_size
+    total_steps: int = 1000
+    warmup_steps: int = -1
+
+    # --- distributed (src/options.py:164-184) ---
+    main_port: int = 10001
+    seed: int = 0
+    # TPU mesh shape: data-parallel x model-parallel. model axis > 1 enables
+    # tensor parallelism over the encoder (a capability the reference lacks).
+    mesh_data: int = -1  # -1 = all devices on the data axis
+    mesh_model: int = 1
+
+    # --- optimization (src/options.py:186-239) ---
+    optim: str = "adamw"
+    scheduler: str = "linear"
+    lr: float = 1e-4
+    lr_min_ratio: float = 0.0
+    weight_decay_from_init: bool = False
+    weight_decay: float = 0.01
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-6
+    clip_gradients: bool = False
+    max_grad_norm: Optional[float] = None
+    max_grad_value: Optional[float] = None
+    log_freq: int = 100
+    eval_freq: int = 1000
+    save_freq: int = 50000
+    maxload: Optional[int] = None
+    label_smoothing: float = 0.0
+
+    # --- finetuning (src/options.py:242-244) ---
+    negative_ctxs: int = 1
+    negative_hard_min_idx: int = 0
+    negative_hard_ratio: float = 0.0
+
+    # --- TPU-specific knobs (new; no reference equivalent) ---
+    dtype: str = "bfloat16"  # compute dtype on the MXU
+    param_dtype: str = "float32"
+    remat: bool = False  # jax.checkpoint over encoder layers
+    donate_state: bool = True
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        if self.warmup_steps is not None and self.warmup_steps < 0:
+            # reference leaves -1; schedule code treats <=0 as no warmup
+            pass
+
+    # Alias kept so code written against reference flag names still reads.
+    @property
+    def per_gpu_batch_size(self) -> int:
+        return self.per_device_batch_size
+
+    @property
+    def per_gpu_eval_batch_size(self) -> int:
+        return self.per_device_eval_batch_size
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # --- (de)serialization -------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    # --- CLI ---------------------------------------------------------------
+    @classmethod
+    def build_parser(cls) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(
+            formatter_class=argparse.ArgumentDefaultsHelpFormatter
+        )
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name
+            if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+                p.add_argument(name, nargs="+", default=f.default_factory())
+                continue
+            if f.type in ("bool", bool):
+                p.add_argument(name, action="store_true", default=f.default)
+            elif f.default is None:
+                # Optional[int]/Optional[float]/Optional[str]
+                typ = float if "float" in str(f.type) else (
+                    int if "int" in str(f.type) else str
+                )
+                p.add_argument(name, type=typ, default=None)
+            else:
+                p.add_argument(name, type=type(f.default), default=f.default)
+        # reference-compat aliases
+        p.add_argument("--per_gpu_batch_size", type=int, default=None)
+        p.add_argument("--per_gpu_eval_batch_size", type=int, default=None)
+        return p
+
+    @classmethod
+    def from_args(cls, argv: Optional[List[str]] = None) -> "Config":
+        opt, _unknown = cls.build_parser().parse_known_args(argv)
+        d = vars(opt)
+        alias_b = d.pop("per_gpu_batch_size", None)
+        alias_e = d.pop("per_gpu_eval_batch_size", None)
+        cfg = cls.from_dict(d)
+        if alias_b is not None:
+            cfg = cfg.replace(per_device_batch_size=alias_b)
+        if alias_e is not None:
+            cfg = cfg.replace(per_device_eval_batch_size=alias_e)
+        return cfg
+
+    def print_options(self, parser: Optional[argparse.ArgumentParser] = None) -> str:
+        """Human-readable dump with [default: x] annotations, written to
+        <output_dir>/opt.txt (parity with src/options.py:246-261)."""
+        defaults = Config()
+        lines = []
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            dv = getattr(defaults, f.name)
+            comment = "" if v == dv else f"\t[default: {dv}]"
+            lines.append(f"{f.name:>40}: {str(v):<40}{comment}")
+        message = "\n".join(lines) + "\n"
+        os.makedirs(os.path.join(self.output_dir, "models"), exist_ok=True)
+        with open(os.path.join(self.output_dir, "opt.txt"), "w") as f:
+            f.write(message + "\n")
+        return message

@@ -1,0 +1,266 @@
+"""TPU-native functional BERT encoder.
+
+This is the compute core replacing the reference's HuggingFace
+``BertModel`` forward (/root/reference/src/contriever.py:11-55, which
+delegates to cuDNN/cuBLAS). Design choices for TPU/XLA:
+
+  * **Pure functions over an explicit param pytree** — params are a nested
+    dict of jnp arrays, so jit/grad/tree_map/EMA/sharding all compose
+    without framework indirection, and the MoCo momentum update
+    (src/moco.py:260-269, a Python per-parameter loop in the reference)
+    becomes one fused ``jax.tree.map``.
+  * **Layers stacked on a leading axis + ``lax.scan``** — one compiled
+    layer body instead of N unrolled ones: O(1) compile time in depth and
+    a natural seam for ``jax.checkpoint`` rematerialisation.
+  * **bf16 compute / f32 params** — matmuls hit the MXU in bfloat16;
+    LayerNorm statistics and the softmax run in f32 for stability.
+  * **Static shapes everywhere** — padding is handled with an additive
+    attention bias, never with dynamic shapes.
+
+Tensor-parallel sharding of the head and FFN dimensions is expressed with
+``partition_specs`` below and applied by the caller via NamedSharding —
+XLA then lowers the contractions to ICI collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    """Architecture hyperparameters (HF BertConfig-compatible subset)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    initializer_range: float = 0.02
+    pad_token_id: int = 0
+    dtype: str = "bfloat16"  # compute dtype
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_attention_heads == 0
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 1031, **kw) -> "BertConfig":
+        """Small config for tests."""
+        return cls(vocab_size=vocab_size, hidden_size=64, num_hidden_layers=2,
+                   num_attention_heads=4, intermediate_size=128,
+                   max_position_embeddings=128, dtype="float32", **kw)
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "BertConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _dense(rng, shape, std):
+    return jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32) * std
+
+
+def init_params(rng: jax.Array, cfg: BertConfig) -> Params:
+    """Random init matching BERT's truncated-normal(initializer_range)."""
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    std = cfg.initializer_range
+    keys = jax.random.split(rng, 16)
+
+    def ln():
+        return {"scale": jnp.ones((D,), jnp.float32),
+                "bias": jnp.zeros((D,), jnp.float32)}
+
+    def stacked_ln():
+        return {"scale": jnp.ones((L, D), jnp.float32),
+                "bias": jnp.zeros((L, D), jnp.float32)}
+
+    embeddings = {
+        "word": _dense(keys[0], (cfg.vocab_size, D), std),
+        "position": _dense(keys[1], (cfg.max_position_embeddings, D), std),
+        "token_type": _dense(keys[2], (cfg.type_vocab_size, D), std),
+        "ln": ln(),
+    }
+    layers = {
+        "q_kernel": _dense(keys[3], (L, D, D), std),
+        "q_bias": jnp.zeros((L, D), jnp.float32),
+        "k_kernel": _dense(keys[4], (L, D, D), std),
+        "k_bias": jnp.zeros((L, D), jnp.float32),
+        "v_kernel": _dense(keys[5], (L, D, D), std),
+        "v_bias": jnp.zeros((L, D), jnp.float32),
+        "attn_out_kernel": _dense(keys[6], (L, D, D), std),
+        "attn_out_bias": jnp.zeros((L, D), jnp.float32),
+        "attn_ln": stacked_ln(),
+        "ffn_in_kernel": _dense(keys[7], (L, D, F), std),
+        "ffn_in_bias": jnp.zeros((L, F), jnp.float32),
+        "ffn_out_kernel": _dense(keys[8], (L, F, D), std),
+        "ffn_out_bias": jnp.zeros((L, D), jnp.float32),
+        "ffn_ln": stacked_ln(),
+    }
+    return {"embeddings": embeddings, "layers": layers}
+
+
+def partition_specs(cfg: BertConfig, model_axis: str = "model") -> Params:
+    """PartitionSpecs for tensor parallelism over ``model_axis``.
+
+    Megatron-style: QKV and FFN-in column-parallel (shard output dim),
+    attn-out and FFN-out row-parallel (shard input dim). Everything else
+    replicated. XLA inserts the psum on the row-parallel contractions.
+    """
+    m = model_axis
+    return {
+        "embeddings": {
+            "word": P(None, None), "position": P(None, None),
+            "token_type": P(None, None),
+            "ln": {"scale": P(None), "bias": P(None)},
+        },
+        "layers": {
+            "q_kernel": P(None, None, m), "q_bias": P(None, m),
+            "k_kernel": P(None, None, m), "k_bias": P(None, m),
+            "v_kernel": P(None, None, m), "v_bias": P(None, m),
+            "attn_out_kernel": P(None, m, None), "attn_out_bias": P(None, None),
+            "attn_ln": {"scale": P(None, None), "bias": P(None, None)},
+            "ffn_in_kernel": P(None, None, m), "ffn_in_bias": P(None, m),
+            "ffn_out_kernel": P(None, m, None), "ffn_out_bias": P(None, None),
+            "ffn_ln": {"scale": P(None, None), "bias": P(None, None)},
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = jnp.square(x32 - mean).mean(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _dropout(x, rate, rng, deterministic):
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
+    """One post-LN transformer layer. x: [B, L, D] in compute dtype."""
+    dt = cfg.compute_dtype
+    B, L, D = x.shape
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+
+    def proj(h, kernel, b):
+        return jnp.dot(h, kernel.astype(dt), preferred_element_type=dt) + b.astype(dt)
+
+    q = proj(x, lp["q_kernel"], lp["q_bias"]).reshape(B, L, H, hd)
+    k = proj(x, lp["k_kernel"], lp["k_bias"]).reshape(B, L, H, hd)
+    v = proj(x, lp["v_kernel"], lp["v_bias"]).reshape(B, L, H, hd)
+
+    # scores in f32 for a stable softmax
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd) + bias  # bias: [B, 1, 1, L]
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _dropout(probs, cfg.attention_probs_dropout_prob,
+                     rngs.get("attn"), deterministic).astype(dt)
+
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=dt).reshape(B, L, D)
+    attn_out = proj(ctx, lp["attn_out_kernel"], lp["attn_out_bias"])
+    attn_out = _dropout(attn_out, cfg.hidden_dropout_prob,
+                        rngs.get("h1"), deterministic)
+    x = _layer_norm(x + attn_out, lp["attn_ln"]["scale"],
+                    lp["attn_ln"]["bias"], cfg.layer_norm_eps)
+
+    h = proj(x, lp["ffn_in_kernel"], lp["ffn_in_bias"])
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dt)
+    h = proj(h, lp["ffn_out_kernel"], lp["ffn_out_bias"])
+    h = _dropout(h, cfg.hidden_dropout_prob, rngs.get("h2"), deterministic)
+    x = _layer_norm(x + h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"],
+                    cfg.layer_norm_eps)
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg", "deterministic", "remat"))
+def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
+            attention_mask: jnp.ndarray,
+            token_type_ids: Optional[jnp.ndarray] = None,
+            dropout_rng: Optional[jax.Array] = None,
+            deterministic: bool = True, remat: bool = False) -> jnp.ndarray:
+    """BERT encoder: token ids -> last hidden states [B, L, D].
+
+    attention_mask: [B, L] with 1 for real tokens. Pad keys are excluded
+    via an additive f32 bias; pad query rows are garbage and must be
+    masked by the pooler (which `ops.pooling.mean_pool` does, matching
+    src/contriever.py:46).
+    """
+    dt = cfg.compute_dtype
+    B, L = input_ids.shape
+    emb = params["embeddings"]
+
+    x = emb["word"][input_ids]
+    x = x + emb["position"][jnp.arange(L)][None, :, :]
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    x = x + emb["token_type"][token_type_ids]
+    x = _layer_norm(x.astype(dt), emb["ln"]["scale"], emb["ln"]["bias"],
+                    cfg.layer_norm_eps)
+
+    if dropout_rng is not None and not deterministic:
+        emb_rng, layer_rng = jax.random.split(dropout_rng)
+    else:
+        emb_rng = layer_rng = None
+    x = _dropout(x, cfg.hidden_dropout_prob, emb_rng, deterministic)
+
+    # additive attention bias [B, 1, 1, L]
+    neg = jnp.asarray(-1e30, jnp.float32)
+    bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, neg)
+
+    def body(carry, lp_and_i):
+        h = carry
+        lp, i = lp_and_i
+        if layer_rng is not None:
+            lr = jax.random.fold_in(layer_rng, i)
+            rngs = dict(zip(("attn", "h1", "h2"), jax.random.split(lr, 3)))
+        else:
+            rngs = {}
+        h = _encoder_layer(cfg, h, bias, lp, rngs, deterministic)
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    layer_idx = jnp.arange(cfg.num_hidden_layers)
+    x, _ = jax.lax.scan(body, x, (params["layers"], layer_idx))
+    return x
+
+
+def num_params(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

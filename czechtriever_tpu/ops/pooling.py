@@ -1,0 +1,54 @@
+"""Sentence-embedding pooling ops.
+
+Pure jax functions implementing the pooling semantics of the reference
+encoder forward (/root/reference/src/contriever.py:45-55 and
+src/utils.py:19-22): pad positions are zeroed before mean pooling, and the
+mean divides by the *mask* sum (not the sequence length).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mask_fill(last_hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero out embeddings at pad positions. mask: [B, L] (1 = real token)."""
+    return jnp.where(mask[..., None].astype(bool), last_hidden, 0.0)
+
+
+def mean_pool(last_hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean pooling (src/contriever.py:48-49).
+
+    last_hidden: [B, L, D]; mask: [B, L]. Returns [B, D] in float32 —
+    the reduction is done in f32 regardless of compute dtype so that
+    bf16 encoders still produce stable embeddings.
+    """
+    h = mask_fill(last_hidden, mask).astype(jnp.float32)
+    denom = jnp.maximum(mask.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0)
+    return h.sum(axis=1) / denom
+
+
+def cls_pool(last_hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """CLS (first-token) pooling (src/contriever.py:50-51)."""
+    del mask
+    return last_hidden[:, 0].astype(jnp.float32)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch.nn.functional.normalize parity (src/contriever.py:53-54):
+    x / max(||x||_2, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def pool(last_hidden: jnp.ndarray, mask: jnp.ndarray, pooling: str = "average",
+         normalize: bool = False) -> jnp.ndarray:
+    if pooling == "average":
+        emb = mean_pool(last_hidden, mask)
+    elif pooling == "cls":
+        emb = cls_pool(last_hidden, mask)
+    else:
+        raise ValueError(f"unknown pooling: {pooling}")
+    if normalize:
+        emb = l2_normalize(emb)
+    return emb

@@ -1,0 +1,143 @@
+"""Golden parity tests of the functional BERT encoder against
+HuggingFace ``transformers.BertModel`` (torch CPU), which is the exact
+encoder the reference wraps (/root/reference/src/contriever.py:11-55).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from czechtriever_tpu.models import bert, contriever, hf_interop
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    """A tiny random HF BertModel and the converted jax params."""
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    hf_cfg = HFBertConfig(
+        vocab_size=1031, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = BertModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = bert.BertConfig.from_hf_dict(hf_cfg.to_dict())
+    cfg = bert.BertConfig(**{**cfg.__dict__, "dtype": "float32"})
+    params = hf_interop.params_from_state_dict(hf_model.state_dict(), cfg)
+    return hf_model, params, cfg
+
+
+def _random_batch(rng, vocab, B=3, L=17):
+    ids = rng.integers(5, vocab, size=(B, L))
+    mask = np.ones((B, L), dtype=np.int32)
+    # ragged padding
+    mask[0, 12:] = 0
+    mask[1, 9:] = 0
+    ids = ids * mask
+    return ids.astype(np.int32), mask
+
+
+class TestGoldenParity:
+    def test_last_hidden_matches_hf(self, tiny_pair):
+        hf_model, params, cfg = tiny_pair
+        ids, mask = _random_batch(np.random.default_rng(0), cfg.vocab_size)
+
+        with torch.no_grad():
+            ref = hf_model(input_ids=torch.tensor(ids.astype(np.int64)),
+                           attention_mask=torch.tensor(mask.astype(np.int64)))
+            ref = ref.last_hidden_state.numpy()
+
+        out = np.asarray(bert.forward(params, cfg, jnp.array(ids),
+                                      jnp.array(mask)))
+        # compare only non-pad positions (pad rows differ: HF lets pads
+        # attend, both get masked at pooling anyway)
+        m = mask.astype(bool)
+        np.testing.assert_allclose(out[m], ref[m], rtol=1e-4, atol=1e-4)
+
+    def test_encode_matches_reference_pipeline(self, tiny_pair):
+        """encode() == HF forward + masked_fill + mean pool + normalize
+        (src/contriever.py:45-55)."""
+        hf_model, params, cfg = tiny_pair
+        ids, mask = _random_batch(np.random.default_rng(1), cfg.vocab_size)
+
+        with torch.no_grad():
+            h = hf_model(input_ids=torch.tensor(ids.astype(np.int64)),
+                         attention_mask=torch.tensor(mask.astype(np.int64)))
+            h = h.last_hidden_state
+            tm = torch.tensor(mask)
+            h = h.masked_fill(~tm[..., None].bool(), 0.0)
+            ref = h.sum(dim=1) / tm.sum(dim=1)[..., None]
+            ref_norm = torch.nn.functional.normalize(ref, dim=-1).numpy()
+
+        out = np.asarray(contriever.encode(
+            params, cfg, jnp.array(ids), jnp.array(mask),
+            pooling_mode="average", normalize=True))
+        np.testing.assert_allclose(out, ref_norm, rtol=1e-4, atol=1e-4)
+
+    def test_cls_pooling(self, tiny_pair):
+        hf_model, params, cfg = tiny_pair
+        ids, mask = _random_batch(np.random.default_rng(2), cfg.vocab_size)
+        with torch.no_grad():
+            ref = hf_model(input_ids=torch.tensor(ids.astype(np.int64)),
+                           attention_mask=torch.tensor(mask.astype(np.int64)))
+            ref = ref.last_hidden_state[:, 0].numpy()
+        out = np.asarray(contriever.encode(
+            params, cfg, jnp.array(ids), jnp.array(mask), pooling_mode="cls"))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_state_dict_roundtrip(self, tiny_pair):
+        hf_model, params, cfg = tiny_pair
+        sd = hf_interop.params_to_state_dict(params)
+        params2 = hf_interop.params_from_state_dict(sd, cfg)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_save_load_hf_dir(self, tiny_pair, tmp_path):
+        _, params, cfg = tiny_pair
+        hf_interop.save_hf_dir(params, cfg, str(tmp_path / "m"))
+        params2, cfg2 = hf_interop.load_hf_dir(str(tmp_path / "m"))
+        assert cfg2.hidden_size == cfg.hidden_size
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+class TestForwardProperties:
+    def test_remat_matches(self, tiny_pair):
+        _, params, cfg = tiny_pair
+        ids, mask = _random_batch(np.random.default_rng(3), cfg.vocab_size)
+        a = bert.forward(params, cfg, jnp.array(ids), jnp.array(mask), remat=False)
+        b = bert.forward(params, cfg, jnp.array(ids), jnp.array(mask), remat=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_dropout_determinism_flag(self, tiny_pair):
+        _, params, cfg = tiny_pair
+        cfg_drop = bert.BertConfig(**{**cfg.__dict__,
+                                      "hidden_dropout_prob": 0.5,
+                                      "attention_probs_dropout_prob": 0.5})
+        ids, mask = _random_batch(np.random.default_rng(4), cfg.vocab_size)
+        r = jax.random.key(0)
+        a = bert.forward(params, cfg_drop, jnp.array(ids), jnp.array(mask),
+                         dropout_rng=r, deterministic=False)
+        b = bert.forward(params, cfg_drop, jnp.array(ids), jnp.array(mask),
+                         dropout_rng=r, deterministic=False)
+        c = bert.forward(params, cfg_drop, jnp.array(ids), jnp.array(mask),
+                         dropout_rng=jax.random.key(1), deterministic=False)
+        det = bert.forward(params, cfg_drop, jnp.array(ids), jnp.array(mask),
+                           deterministic=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+        assert np.abs(np.asarray(a) - np.asarray(det)).max() > 1e-6
+
+    def test_random_init_runs(self):
+        cfg = bert.BertConfig.tiny()
+        params = bert.init_params(jax.random.key(0), cfg)
+        ids = jnp.ones((2, 9), jnp.int32)
+        mask = jnp.ones((2, 9), jnp.int32)
+        out = bert.forward(params, cfg, ids, mask)
+        assert out.shape == (2, 9, cfg.hidden_size)
+        assert np.isfinite(np.asarray(out)).all()
