@@ -1,0 +1,227 @@
+"""Dataset abstractions and the batch pipeline feeding the train step.
+
+Covers the reference's dataset zoo (/root/reference/src/data.py):
+
+  * ``InMemoryDataset``  — reference ``Dataset`` (:462-508): list of
+    tokenized docs, per-sample 256-token window then two crops.
+  * ``MultiDataset``     — mixture with sampling prob ∝ len^coeff (:423-447).
+  * ``PairBatcher``      — streaming pipeline: TokenStream chunks ->
+    crop/augment pairs -> fixed-shape batches, with a background
+    prefetch thread replacing torch DataLoader workers (train.py:195-202).
+  * ``DistillBatcher``   — single-crop query batches for distillation
+    (reference ``DistillDataset`` :211-285).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from czechtriever_tpu.data import augment
+from czechtriever_tpu.data.collator import PairCollator, pad_batch
+from czechtriever_tpu.data.tokenstream import TokenStream
+
+
+class AugmentSpec:
+    """The crop/augment hyperparameters threaded through the pipeline."""
+
+    def __init__(self, *, ratio_min: float, ratio_max: float,
+                 augmentation: str = "none", prob_augmentation: float = 0.0,
+                 bos_token_id: Optional[int] = None,
+                 eos_token_id: Optional[int] = None, mask_id: int = 0,
+                 start_id: int = 0, vocab_size: int = 0):
+        self.ratio_min = ratio_min
+        self.ratio_max = ratio_max
+        self.augmentation = augmentation
+        self.prob_augmentation = prob_augmentation
+        self.bos_token_id = bos_token_id
+        self.eos_token_id = eos_token_id
+        self.mask_id = mask_id
+        self.start_id = start_id
+        self.vocab_size = vocab_size
+
+    @classmethod
+    def from_config(cls, cfg, tokenizer=None) -> "AugmentSpec":
+        bos = getattr(tokenizer, "bos_token_id", None) if tokenizer else None
+        eos = getattr(tokenizer, "eos_token_id", None) if tokenizer else None
+        mask_id = getattr(tokenizer, "mask_token_id", 0) if tokenizer else 0
+        vocab = getattr(tokenizer, "vocab_size", 0) if tokenizer else 0
+        return cls(ratio_min=cfg.ratio_min, ratio_max=cfg.ratio_max,
+                   augmentation=cfg.augmentation,
+                   prob_augmentation=cfg.prob_augmentation,
+                   bos_token_id=bos, eos_token_id=eos, mask_id=mask_id or 0,
+                   vocab_size=vocab or 0)
+
+    def make_pair(self, tokens: np.ndarray, rng: np.random.Generator):
+        q, k = augment.build_pair(
+            tokens, ratio_min=self.ratio_min, ratio_max=self.ratio_max,
+            augmentation=self.augmentation,
+            prob_augmentation=self.prob_augmentation,
+            bos_token_id=self.bos_token_id, eos_token_id=self.eos_token_id,
+            rng=rng, mask_id=self.mask_id, start_id=self.start_id,
+            vocab_size=self.vocab_size)
+        return {"q_tokens": q, "k_tokens": k}
+
+
+class InMemoryDataset:
+    """Reference ``Dataset`` semantics (src/data.py:462-508): docs are
+    pre-tokenized int arrays; each sample takes a random chunk_length
+    window of one doc, then builds an augmented crop pair."""
+
+    def __init__(self, docs: Sequence[np.ndarray], chunk_length: int,
+                 spec: AugmentSpec, seed: int = 0):
+        self.docs = [np.asarray(d, dtype=np.int32) for d in docs]
+        self.chunk_length = chunk_length
+        self.spec = spec
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.docs)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        doc = self.docs[index]
+        start = self.rng.integers(0, max(0, len(doc) - self.chunk_length) + 1)
+        tokens = doc[start:start + self.chunk_length]
+        return self.spec.make_pair(tokens, self.rng)
+
+    def get_passage_from_all_docs(self) -> List[np.ndarray]:
+        """Random augmented crop of every doc — the val-corpus builder
+        (src/data.py:495-508)."""
+        out = []
+        for doc in self.docs:
+            start = self.rng.integers(
+                0, max(0, len(doc) - self.chunk_length) + 1)
+            tokens = doc[start:start + self.chunk_length]
+            crop = augment.random_crop(tokens, self.spec.ratio_min,
+                                       self.spec.ratio_max, self.rng)
+            crop = augment.apply_augmentation(
+                crop, self.spec.augmentation, self.spec.prob_augmentation,
+                self.rng, mask_id=self.spec.mask_id,
+                start_id=self.spec.start_id, vocab_size=self.spec.vocab_size)
+            out.append(augment.add_bos_eos(crop, self.spec.bos_token_id,
+                                           self.spec.eos_token_id))
+        return out
+
+
+class MultiDataset:
+    """Dataset mixture, sampling prob ∝ len^coeff (src/data.py:423-447)."""
+
+    def __init__(self, datasets: Dict[str, InMemoryDataset], seed: int = 0):
+        self.datasets = datasets
+        self.dataset_ids = list(datasets.keys())
+        self.prob = np.full(len(datasets), 1.0 / max(1, len(datasets)))
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return sum(len(d) for d in self.datasets.values())
+
+    def set_prob(self, coeff: float = 0.0) -> None:
+        prob = np.array([float(len(d)) for d in self.datasets.values()])
+        prob /= prob.sum()
+        prob = prob ** coeff
+        self.prob = prob / prob.sum()
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        di = self.rng.choice(len(self.prob), p=self.prob)
+        did = self.dataset_ids[di]
+        ds = self.datasets[did]
+        sample = ds[int(self.rng.integers(0, len(ds)))]
+        sample["dataset_id"] = did
+        return sample
+
+    def get_passage_from_all_docs(self) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        for ds in self.datasets.values():
+            out.extend(ds.get_passage_from_all_docs())
+        return out
+
+
+class _Prefetcher:
+    """Background-thread batch producer (replaces torch DataLoader
+    workers, train.py:195-202). Bounded queue -> backpressure."""
+
+    def __init__(self, gen_fn, depth: int = 4):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._run, args=(gen_fn,),
+                                        daemon=True)
+        self._thread.start()
+
+    def _run(self, gen_fn):
+        try:
+            for item in gen_fn():
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item
+
+
+class PairBatcher:
+    """TokenStream -> fixed-shape contrastive pair batches.
+
+    One epoch = one pass over the (sharded, shuffled) stream. Batches are
+    dicts of int32 arrays with static shapes [B, max_length].
+    """
+
+    def __init__(self, stream: TokenStream, spec: AugmentSpec,
+                 batch_size: int, max_length: Optional[int] = None,
+                 seed: int = 0, prefetch: int = 4):
+        self.stream = stream
+        self.spec = spec
+        self.batch_size = batch_size
+        n_special = (spec.bos_token_id is not None) + (spec.eos_token_id is not None)
+        self.max_length = max_length or (stream.chunk_length + n_special)
+        self.collator = PairCollator(self.max_length)
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def _epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        examples = []
+        for chunk in self.stream:
+            examples.append(self.spec.make_pair(chunk, self.rng))
+            if len(examples) == self.batch_size:
+                yield self.collator(examples)
+                examples = []
+        # drop last partial batch: static shapes require full batches
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch > 0:
+            return iter(_Prefetcher(self._epoch, depth=self.prefetch))
+        return self._epoch()
+
+
+class DistillBatcher:
+    """Single-crop query batches for distillation (reference
+    DistillDataset, src/data.py:211-285: one random crop per chunk,
+    bos/eos added, no augmentation)."""
+
+    def __init__(self, stream: TokenStream, spec: AugmentSpec,
+                 batch_size: int, max_length: Optional[int] = None,
+                 seed: int = 0):
+        self.stream = stream
+        self.spec = spec
+        self.batch_size = batch_size
+        n_special = (spec.bos_token_id is not None) + (spec.eos_token_id is not None)
+        self.max_length = max_length or (stream.chunk_length + n_special)
+        self.rng = np.random.default_rng(seed)
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        seqs: List[np.ndarray] = []
+        for chunk in self.stream:
+            crop = augment.random_crop(chunk, self.spec.ratio_min,
+                                       self.spec.ratio_max, self.rng)
+            seqs.append(augment.add_bos_eos(crop, self.spec.bos_token_id,
+                                            self.spec.eos_token_id))
+            if len(seqs) == self.batch_size:
+                ids, mask = pad_batch(seqs, self.max_length)
+                yield {"input_ids": ids, "attention_mask": mask}
+                seqs = []
