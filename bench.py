@@ -1,0 +1,119 @@
+"""Headline benchmark: MoCo contrastive train-step throughput on the
+flagship (Czert-base / BERT-base) encoder — the reference's hot loop
+(/root/reference/train.py:256-327: two BERT forwards + backward + queue
+matmul + EMA + AdamW per pair).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md): vs_baseline is the
+ratio against REFERENCE_SAMPLES_PER_S below — the reference recipe's
+effective rate needed to finish its published training plan (500k steps x
+2048 global batch on one GPU, README.md:36-62) in the 14-day SGE
+wall-clock the example cluster script requests
+(example_scripts/czechtriever.sh), i.e. ~846 pairs/s. That is the honest
+"reference machinery on its own hardware budget" yardstick until a
+measured number exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SAMPLES_PER_S = 846.0  # 500k * 2048 / (14 * 86400)
+
+
+def build(batch: int, accum: int, seq: int, queue_size: int, remat: bool):
+    import jax
+    import jax.numpy as jnp
+    from czechtriever_tpu.config import Config
+    from czechtriever_tpu.models import bert
+    from czechtriever_tpu.parallel import mesh as meshlib
+    from czechtriever_tpu.training import optim, state as statelib, steps
+
+    mcfg = bert.BertConfig(vocab_size=30522, hidden_size=768,
+                           num_hidden_layers=12, num_attention_heads=12,
+                           intermediate_size=3072,
+                           max_position_embeddings=512, dtype="bfloat16")
+    cfg = Config(queue_size=queue_size, temperature=0.05, momentum=0.9995,
+                 projection_size=768, lr=1e-5, warmup_steps=20000,
+                 total_steps=500000, scheduler="linear",
+                 clip_gradients=False, remat=remat)
+    mesh = meshlib.make_mesh()
+    tx = optim.make_optimizer(cfg)
+    st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
+    st = meshlib.replicate(mesh, st)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, mcfg.vocab_size, (2, accum, batch, seq)).astype(np.int32)
+    mask = np.ones((accum, batch, seq), np.int32)
+    b = {"q_tokens": ids[0], "q_mask": mask, "k_tokens": ids[1], "k_mask": mask}
+    b = meshlib.shard_microbatches(mesh, b)
+
+    step_fn = jax.jit(steps.make_moco_step(cfg, mcfg, tx), donate_argnums=0)
+    return step_fn, st, b
+
+
+def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
+        remat: bool):
+    import jax
+    step_fn, st, b = build(batch, accum, seq, queue_size, remat)
+    rng = jax.random.key(1)
+    # warmup + compile. NOTE: under the axon TPU tunnel,
+    # block_until_ready does not actually wait for remote execution —
+    # a scalar readback is the only reliable sync, so we fetch the loss
+    # (which transitively depends on the whole step chain).
+    for _ in range(3):
+        st, stats = step_fn(st, b, rng)
+    float(stats["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps_n):
+        st, stats = step_fn(st, b, rng)
+    loss = float(stats["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+    pairs = batch * accum * steps_n
+    return pairs / dt, dt / steps_n, loss
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--accum", type=int, default=2)
+    p.add_argument("--seq", type=int, default=256)
+    p.add_argument("--queue_size", type=int, default=131072)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--no-remat", dest="remat", action="store_false", default=True)
+    args = p.parse_args()
+
+    batch = args.batch
+    while True:
+        try:
+            sps, spstep, loss = run(batch, args.accum, args.seq,
+                                    args.queue_size, args.steps, args.remat)
+            break
+        except Exception as e:
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "Ran out of memory" in str(e))
+            if oom and batch > 8:
+                print(f"OOM at batch {batch}, halving", file=sys.stderr)
+                batch //= 2
+            else:
+                raise
+    print(f"batch={batch} accum={args.accum} seq={args.seq} "
+          f"step={spstep*1000:.1f}ms loss={loss:.4f}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "moco_train_pairs_per_s",
+        "value": round(sps, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Device mesh + multi-host runtime setup.
+
+TPU-native replacement for the reference's L0 distributed runtime
+(/root/reference/src/dist_utils.py, src/slurm.py): instead of
+torchrun/NCCL process groups we build a ``jax.sharding.Mesh`` with a
+``data`` axis (DP + contrastive negative sharing) and a ``model`` axis
+(tensor parallelism, a capability the reference lacks). Collectives are
+then inserted by XLA from sharding annotations — there is no hand-written
+all_gather/all_reduce anywhere in the training path.
+
+Multi-host init goes through ``jax.distributed.initialize``; SLURM
+environments are auto-detected by jax itself (replacing the env-var
+translation in src/slurm.py:51-74).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host jax if running under a launcher.
+
+    Safe to call unconditionally: single-process runs are a no-op
+    (replacing the single-GPU fallback at src/slurm.py:89-93).
+    """
+    in_multiproc = (coordinator_address is not None
+                    or "COORDINATOR_ADDRESS" in os.environ
+                    or "SLURM_JOB_NUM_NODES" in os.environ
+                    and int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1)
+    if not in_multiproc:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception as e:  # already initialized or single-host
+        logger.warning("jax.distributed.initialize skipped: %s", e)
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 means all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, (
+        f"mesh {data}x{model} != {n} available devices")
+    dev_array = np.array(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+# --- sharding helpers -------------------------------------------------------
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def microbatch_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """[accum, batch, ...]: shard the *second* dim over data."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch dict onto the mesh, batch dim over data axis."""
+    return {k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+            for k, v in batch.items()}
+
+
+def shard_microbatches(mesh: Mesh, batch: dict) -> dict:
+    return {k: jax.device_put(v, microbatch_sharding(mesh, np.ndim(v)))
+            for k, v in batch.items()}
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree over the mesh (params, queue, opt state)."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# --- process helpers (reference is_main/rank/world_size,
+#     src/dist_utils.py:77-102) ---------------------------------------------
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main() -> bool:
+    return jax.process_index() == 0

@@ -1,0 +1,37 @@
+"""Optimizer construction (optax), matching reference set_optim
+(/root/reference/src/utils.py:137-166) + the clip behavior of the train
+loop (train.py:314-322): clip is applied to the *accumulated* gradients,
+before AdamW.
+
+Torch-AdamW <-> optax-adamw parity notes:
+  * torch decoupled weight decay multiplies by lr (p -= lr*wd*p); optax
+    adamw likewise adds wd*p to the update before the lr scaling — same.
+  * when ``weight_decay_from_init`` is on, the reference constructs AdamW
+    *without* weight decay (src/utils.py:139-143) and adds an explicit
+    L2-from-init term to the loss instead — we do the same.
+"""
+
+from __future__ import annotations
+
+import optax
+
+from czechtriever_tpu.ops.schedules import make_schedule
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    if cfg.optim != "adamw":
+        raise NotImplementedError("optimizer class not implemented")
+
+    warmup = max(0, cfg.warmup_steps)
+    schedule = make_schedule(cfg.scheduler, cfg.lr, warmup,
+                             cfg.total_steps, cfg.lr_min_ratio)
+    chain = []
+    if cfg.clip_gradients:
+        if cfg.max_grad_value is not None:
+            chain.append(optax.clip(cfg.max_grad_value))
+        elif cfg.max_grad_norm is not None:
+            chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    wd = 0.0 if cfg.weight_decay_from_init else cfg.weight_decay
+    chain.append(optax.adamw(learning_rate=schedule, b1=cfg.beta1,
+                             b2=cfg.beta2, eps=cfg.eps, weight_decay=wd))
+    return optax.chain(*chain)

@@ -1,0 +1,175 @@
+"""Jitted contrastive train steps (InBatch + MoCo).
+
+TPU-native rewrite of the reference hot loop
+(/root/reference/train.py:256-327 + src/moco.py:296-353 +
+src/inbatch.py:59-90). One call = one *optimizer* step:
+
+  * the batch carries a leading accumulation axis [A, B, L]; microbatches
+    run under ``lax.scan`` (replacing the Python accumulation loop,
+    train.py:227-233,266) and gradients are **summed** across
+    microbatches — the reference calls ``loss.backward()`` per microbatch
+    without scaling (train.py:264), so parity requires the sum, not the
+    mean.
+  * the loss is written over the global batch; under pjit with B sharded
+    on the mesh ``data`` axis, XLA inserts the all-gathers that the
+    reference does by hand (src/dist_utils.py:7-37) — including the
+    differentiable key gather for in-batch negatives.
+  * MoCo per microbatch, in reference order (src/moco.py:296-338):
+    encoder_q fwd (grad) -> EMA update of encoder_k (one fused tree_map
+    replacing the per-param Python loop, src/moco.py:260-269) -> encoder_k
+    fwd (stop-grad, dropout ON: the reference's train() puts encoder_k in
+    train mode and the eval() branch at src/moco.py:316-317 never fires)
+    -> queue logits + CE -> global-batch ring-buffer enqueue.
+  * grad clip on the accumulated grads then AdamW + schedule, matching
+    train.py:314-327 ordering.
+
+Returned stats mirror iter_stats (loss/accuracy/stdq/stdk,
+src/moco.py:343-351) plus grad_norm for observability parity
+(train.py:295-309).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from czechtriever_tpu.models import bert
+from czechtriever_tpu.models.contriever import encode
+from czechtriever_tpu.ops import losses
+from czechtriever_tpu.training.state import InBatchState, MoCoState
+
+Batch = Dict[str, jnp.ndarray]
+Stats = Dict[str, jnp.ndarray]
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return optax.global_norm(tree)
+
+
+def _mean_stats(stats: Stats) -> Stats:
+    return {k: v.mean() for k, v in stats.items()}
+
+
+def make_inbatch_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
+    """Build the InBatch train step: (state, batch[A,B,L], rng) ->
+    (state, stats)."""
+
+    def train_step(state: InBatchState, batch: Batch,
+                   rng: jax.Array) -> Tuple[InBatchState, Stats]:
+        rng = jax.random.fold_in(rng, state.step)
+        A = batch["q_tokens"].shape[0]
+        micro_rngs = jax.random.split(rng, A)
+
+        def loss_fn(params, mb, mrng):
+            qr, kr = jax.random.split(mrng)
+            q = encode(params, mcfg, mb["q_tokens"], mb["q_mask"],
+                       dropout_rng=qr, deterministic=False,
+                       normalize=cfg.norm_query, pooling_mode=cfg.pooling,
+                       remat=cfg.remat)
+            k = encode(params, mcfg, mb["k_tokens"], mb["k_mask"],
+                       dropout_rng=kr, deterministic=False,
+                       normalize=cfg.norm_doc, pooling_mode=cfg.pooling,
+                       remat=cfg.remat)
+            loss, stats = losses.inbatch_loss(q, k, cfg.temperature,
+                                              cfg.label_smoothing)
+            if state.init_params is not None:
+                loss = loss + losses.l2_from_init_penalty(
+                    params, state.init_params, cfg.weight_decay)
+            return loss, stats
+
+        def micro(grad_sum, xs):
+            mb, mrng = xs
+            (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, mb, mrng)
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+            return grad_sum, stats
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        mbs = {k: v for k, v in batch.items()}
+        grads, stats = jax.lax.scan(micro, zero_grads, (mbs, micro_rngs))
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        out_stats = _mean_stats(stats)
+        out_stats["grad_norm"] = global_norm(grads)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), out_stats
+
+    return train_step
+
+
+def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
+    """Build the MoCo train step: (state, batch[A,B,L], rng) ->
+    (state, stats)."""
+    momentum = cfg.momentum
+
+    def train_step(state: MoCoState, batch: Batch,
+                   rng: jax.Array) -> Tuple[MoCoState, Stats]:
+        rng = jax.random.fold_in(rng, state.step)
+        A = batch["q_tokens"].shape[0]
+        micro_rngs = jax.random.split(rng, A)
+
+        def loss_fn(params_q, k, queue, mb, qr):
+            q = encode(params_q, mcfg, mb["q_tokens"], mb["q_mask"],
+                       dropout_rng=qr, deterministic=False,
+                       normalize=cfg.norm_query, pooling_mode=cfg.pooling,
+                       remat=cfg.remat)
+            loss, stats = losses.moco_loss(q, k, queue, cfg.temperature,
+                                           cfg.label_smoothing)
+            if state.init_params is not None:
+                loss = loss + losses.l2_from_init_penalty(
+                    params_q, state.init_params, cfg.weight_decay)
+            return loss, stats
+
+        def micro(carry, xs):
+            params_k, queue, ptr, grad_sum = carry
+            mb, mrng = xs
+            qr, kr = jax.random.split(mrng)
+
+            # EMA key-encoder update: k <- m*k + (1-m)*q (src/moco.py:260-269)
+            params_k = jax.tree.map(
+                lambda pk, pq: pk * momentum + pq * (1.0 - momentum),
+                params_k, state.params_q)
+
+            # key features: stop-grad, dropout on (see module docstring)
+            k = encode(params_k, mcfg, mb["k_tokens"], mb["k_mask"],
+                       dropout_rng=kr, deterministic=False,
+                       normalize=cfg.norm_doc, pooling_mode=cfg.pooling,
+                       remat=cfg.remat)
+            k = jax.lax.stop_gradient(k)
+
+            (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params_q, k, queue, mb, qr)
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+
+            # enqueue the *global* key batch (src/moco.py:272-287; the
+            # cross-rank gather is implicit under pjit)
+            queue, ptr = losses.queue_update(queue, ptr, k)
+            return (params_k, queue, ptr, grad_sum), stats
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params_q)
+        carry = (state.params_k, state.queue, state.queue_ptr, zero_grads)
+        (params_k, queue, ptr, grads), stats = jax.lax.scan(
+            micro, carry, (dict(batch), micro_rngs))
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params_q)
+        params_q = optax.apply_updates(state.params_q, updates)
+        out_stats = _mean_stats(stats)
+        out_stats["grad_norm"] = global_norm(grads)
+        return state.replace(step=state.step + 1, params_q=params_q,
+                             params_k=params_k, opt_state=opt_state,
+                             queue=queue, queue_ptr=ptr), out_stats
+
+    return train_step
+
+
+def add_accum_axis(batch: Batch, accum: int) -> Batch:
+    """Reshape a flat [A*B, L] host batch into [A, B, L] microbatches."""
+    def r(x):
+        ab = x.shape[0]
+        assert ab % accum == 0, f"batch {ab} not divisible by accum {accum}"
+        return x.reshape(accum, ab // accum, *x.shape[1:])
+    return {k: r(v) for k, v in batch.items()}

@@ -1,0 +1,208 @@
+"""Train-step tests: learning progress, MoCo state machine, gradient
+accumulation semantics, and multi-device sharding equivalence on the
+8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from czechtriever_tpu.config import Config
+from czechtriever_tpu.models import bert
+from czechtriever_tpu.parallel import mesh as meshlib
+from czechtriever_tpu.training import optim, state as statelib, steps
+
+
+def tiny_cfg(**kw):
+    d = dict(queue_size=32, temperature=0.05, momentum=0.99, lr=1e-3,
+             warmup_steps=0, total_steps=1000, scheduler="linear",
+             projection_size=32, contrastive_mode="moco",
+             clip_gradients=False, weight_decay=0.0)
+    d.update(kw)
+    return Config(**d)
+
+
+def tiny_mcfg(dropout=0.0):
+    return bert.BertConfig(vocab_size=211, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64, max_position_embeddings=64,
+                           hidden_dropout_prob=dropout,
+                           attention_probs_dropout_prob=dropout,
+                           dtype="float32")
+
+
+def make_batch(rng, A, B, L, vocab):
+    ids = rng.integers(5, vocab, size=(2, A, B, L)).astype(np.int32)
+    mask = np.ones((2, A, B, L), np.int32)
+    mask[..., L - 3:] = 0
+    return {"q_tokens": jnp.array(ids[0]), "q_mask": jnp.array(mask[0]),
+            "k_tokens": jnp.array(ids[1]), "k_mask": jnp.array(mask[1])}
+
+
+class TestInBatchStep:
+    def test_loss_decreases(self):
+        cfg = tiny_cfg(contrastive_mode="inbatch")
+        mcfg = tiny_mcfg()
+        tx = optim.make_optimizer(cfg)
+        st = statelib.create_inbatch_state(jax.random.key(0), cfg, mcfg, tx)
+        step_fn = jax.jit(steps.make_inbatch_step(cfg, mcfg, tx))
+        batch = make_batch(np.random.default_rng(0), 1, 16, 20, mcfg.vocab_size)
+        rng = jax.random.key(1)
+        first = None
+        for i in range(30):
+            st, stats = step_fn(st, batch, rng)
+            if first is None:
+                first = float(stats["loss"])
+        assert int(st.step) == 30
+        assert float(stats["loss"]) < first * 0.5
+
+    def test_accumulation_sums_gradients(self):
+        cfg = tiny_cfg(contrastive_mode="inbatch")
+        mcfg = tiny_mcfg(dropout=0.0)
+        tx = optim.make_optimizer(cfg)
+        st = statelib.create_inbatch_state(jax.random.key(0), cfg, mcfg, tx)
+        step_fn = jax.jit(steps.make_inbatch_step(cfg, mcfg, tx))
+        b1 = make_batch(np.random.default_rng(1), 1, 8, 16, mcfg.vocab_size)
+        # duplicate the same microbatch twice along the accum axis
+        b2 = {k: jnp.concatenate([v, v], axis=0) for k, v in b1.items()}
+        _, s1 = step_fn(st, b1, jax.random.key(2))
+        _, s2 = step_fn(st, b2, jax.random.key(2))
+        # summed (unscaled) accumulation -> grad norm doubles
+        np.testing.assert_allclose(float(s2["grad_norm"]),
+                                   2 * float(s1["grad_norm"]), rtol=1e-4)
+
+
+class TestMoCoStep:
+    def _setup(self, cfg=None):
+        cfg = cfg or tiny_cfg()
+        mcfg = tiny_mcfg()
+        tx = optim.make_optimizer(cfg)
+        st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
+        step_fn = jax.jit(steps.make_moco_step(cfg, mcfg, tx))
+        return cfg, mcfg, tx, st, step_fn
+
+    def test_queue_and_ptr_advance(self):
+        cfg, mcfg, tx, st, step_fn = self._setup()
+        A, B = 2, 8
+        batch = make_batch(np.random.default_rng(0), A, B, 16, mcfg.vocab_size)
+        q0 = np.asarray(st.queue).copy()
+        st2, _ = step_fn(st, batch, jax.random.key(1))
+        assert int(st2.queue_ptr) == A * B
+        # first A*B rows replaced, rest untouched
+        assert np.abs(np.asarray(st2.queue[:A * B]) - q0[:A * B]).max() > 1e-6
+        np.testing.assert_array_equal(np.asarray(st2.queue[A * B:]), q0[A * B:])
+
+    def test_ema_and_param_updates(self):
+        cfg, mcfg, tx, st, step_fn = self._setup()
+        batch = make_batch(np.random.default_rng(0), 1, 8, 16, mcfg.vocab_size)
+        st2, _ = step_fn(st, batch, jax.random.key(1))
+        # params_q moved (optimizer), params_k = EMA of *pre-update* q
+        # (= initial copy, since q==k at init the EMA is a no-op)
+        dq = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                          st2.params_q, st.params_q)
+        assert max(jax.tree.leaves(dq)) > 0
+        dk = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                          st2.params_k, st.params_k)
+        assert max(jax.tree.leaves(dk)) < 1e-7
+        # second step: EMA now pulls k toward updated q
+        st3, _ = step_fn(st2, batch, jax.random.key(1))
+        dk2 = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: np.abs(np.asarray(a - b)).max(),
+            st3.params_k, st2.params_k)))
+        assert dk2 > 0
+
+    def test_queue_wraps(self):
+        cfg, mcfg, tx, st, step_fn = self._setup()
+        batch = make_batch(np.random.default_rng(0), 1, 16, 16, mcfg.vocab_size)
+        for i in range(3):  # 3*16 = 48 = 32 + 16 -> ptr wraps to 16
+            st, _ = step_fn(st, batch, jax.random.key(1))
+        assert int(st.queue_ptr) == 16
+
+    def test_loss_decreases(self):
+        cfg, mcfg, tx, st, step_fn = self._setup()
+        batch = make_batch(np.random.default_rng(0), 1, 16, 16, mcfg.vocab_size)
+        losses_seen = []
+        for i in range(30):
+            st, stats = step_fn(st, batch, jax.random.key(1))
+            losses_seen.append(float(stats["loss"]))
+        assert losses_seen[-1] < losses_seen[1]
+        assert np.isfinite(losses_seen).all()
+
+
+class TestShardedEquivalence:
+    """The pjit-sharded step must produce the same numbers as the
+    single-device step — this is the test that the implicit collectives
+    reproduce the reference's hand-written NCCL semantics."""
+
+    @pytest.mark.parametrize("mode", ["inbatch", "moco"])
+    def test_sharded_matches_single_device(self, mode):
+        assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+        cfg = tiny_cfg(contrastive_mode=mode)
+        mcfg = tiny_mcfg()
+        tx = optim.make_optimizer(cfg)
+        if mode == "moco":
+            st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
+            fn = steps.make_moco_step(cfg, mcfg, tx)
+        else:
+            st = statelib.create_inbatch_state(jax.random.key(0), cfg, mcfg, tx)
+            fn = steps.make_inbatch_step(cfg, mcfg, tx)
+        batch = make_batch(np.random.default_rng(0), 2, 16, 16, mcfg.vocab_size)
+        rng = jax.random.key(3)
+
+        # single device
+        st_s, stats_s = jax.jit(fn)(st, batch, rng)
+
+        # 8-device mesh, batch sharded over data axis, state replicated
+        m = meshlib.make_mesh()
+        st_m = meshlib.replicate(m, st)
+        batch_m = meshlib.shard_microbatches(m, batch)
+        st_p, stats_p = jax.jit(fn)(st_m, batch_m, rng)
+
+        np.testing.assert_allclose(float(stats_p["loss"]),
+                                   float(stats_s["loss"]), rtol=1e-5)
+        params_s = st_s.params_q if mode == "moco" else st_s.params
+        params_p = st_p.params_q if mode == "moco" else st_p.params
+        for a, b in zip(jax.tree.leaves(params_s), jax.tree.leaves(params_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+        if mode == "moco":
+            np.testing.assert_allclose(np.asarray(st_p.queue),
+                                       np.asarray(st_s.queue),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_tensor_parallel_forward(self):
+        """model-axis sharding of the encoder produces the same
+        embeddings (TP capability beyond the reference)."""
+        from czechtriever_tpu.models.contriever import encode
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mcfg = tiny_mcfg()
+        params = bert.init_params(jax.random.key(0), mcfg)
+        ids = jnp.array(np.random.default_rng(0).integers(
+            5, mcfg.vocab_size, (8, 16)).astype(np.int32))
+        mask = jnp.ones_like(ids)
+        ref = np.asarray(encode(params, mcfg, ids, mask))
+
+        m = meshlib.make_mesh(data=4, model=2)
+        specs = bert.partition_specs(mcfg)
+        params_tp = jax.tree.map(
+            lambda p, s: jax.device_put(p, NamedSharding(m, s)),
+            params, specs)
+        ids_m = jax.device_put(ids, NamedSharding(m, P("data", None)))
+        mask_m = jax.device_put(mask, NamedSharding(m, P("data", None)))
+        out = np.asarray(encode(params_tp, mcfg, ids_m, mask_m))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = meshlib.make_mesh()
+        assert m.devices.shape == (8, 1)
+        m2 = meshlib.make_mesh(data=2, model=4)
+        assert m2.devices.shape == (2, 4)
+        with pytest.raises(AssertionError):
+            meshlib.make_mesh(data=3, model=3)
+
+    def test_is_main(self):
+        assert meshlib.is_main()
+        assert meshlib.process_count() == 1
