@@ -1,0 +1,143 @@
+"""Retrieval-engine tests: bitonic network, top-k engines (XLA + Pallas
+interpret), and the sharded FlatIndex against numpy exact search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from czechtriever_tpu.ops import bitonic, topk
+from czechtriever_tpu.parallel import mesh as meshlib
+from czechtriever_tpu.retrieval.flat import FlatIndex
+
+
+def exact_ref(q, c, k):
+    scores = q @ c.T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+class TestBitonic:
+    @pytest.mark.parametrize("n", [2, 16, 128, 512])
+    def test_sort_desc(self, n):
+        rng = np.random.default_rng(n)
+        v = rng.normal(size=(5, n)).astype(np.float32)
+        i = np.broadcast_to(np.arange(n), (5, n)).astype(np.int32)
+        sv, si = bitonic.sort_desc(jnp.array(v), jnp.array(i))
+        np.testing.assert_allclose(np.asarray(sv), -np.sort(-v, axis=-1))
+        np.testing.assert_allclose(
+            np.take_along_axis(v, np.asarray(si), -1), np.asarray(sv))
+
+    def test_topk_with_neginf_padding(self):
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(3, 100)).astype(np.float32)
+        vp = np.concatenate([v, np.full((3, 28), -np.inf, np.float32)], axis=1)
+        i = np.broadcast_to(np.arange(128), (3, 128)).astype(np.int32)
+        tv, ti = bitonic.topk_desc(jnp.array(vp), jnp.array(i), 10)
+        np.testing.assert_allclose(np.asarray(tv), -np.sort(-v, axis=1)[:, :10])
+        assert np.asarray(ti).max() < 100  # never picks a padded slot
+
+    def test_non_pow2_asserts(self):
+        with pytest.raises(AssertionError):
+            bitonic.sort_desc(jnp.zeros((2, 100)), jnp.zeros((2, 100), jnp.int32))
+
+
+class TestEngines:
+    @pytest.mark.parametrize("Q,N,D,K,B", [
+        (7, 5000, 64, 100, 512),
+        (1, 300, 32, 10, 128),
+        (16, 1024, 128, 1, 256),
+        (4, 100, 16, 100, 512),   # k == N
+    ])
+    def test_blocked_matches_numpy(self, Q, N, D, K, B):
+        rng = np.random.default_rng(Q * N)
+        q = rng.normal(size=(Q, D)).astype(np.float32)
+        c = rng.normal(size=(N, D)).astype(np.float32)
+        ref_v, ref_i = exact_ref(q, c, min(K, N))
+        v, i = topk.blocked_topk(jnp.array(q), jnp.array(c), K, block_size=B)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+    @pytest.mark.parametrize("Q,N,D,K", [(7, 5000, 64, 100), (33, 2048, 128, 17)])
+    def test_pallas_interpret_matches_numpy(self, Q, N, D, K):
+        rng = np.random.default_rng(Q)
+        q = rng.normal(size=(Q, D)).astype(np.float32)
+        c = rng.normal(size=(N, D)).astype(np.float32)
+        ref_v, ref_i = exact_ref(q, c, K)
+        v, i = topk.pallas_topk(jnp.array(q), jnp.array(c), K,
+                                block_size=512, interpret=True)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+    def test_n_valid_masks_tail(self):
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(4, 32)).astype(np.float32)
+        c = rng.normal(size=(600, 32)).astype(np.float32)
+        ref_v, ref_i = exact_ref(q, c[:500], 20)
+        v, i = topk.blocked_topk(jnp.array(q), jnp.array(c), 20,
+                                 block_size=256, n_valid=500)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        v2, i2 = topk.pallas_topk(jnp.array(q), jnp.array(c), 20,
+                                  block_size=256, interpret=True, n_valid=500)
+        np.testing.assert_array_equal(np.asarray(i2), ref_i)
+
+
+class TestFlatIndex:
+    def _data(self, n=3000, d=64, nq=37, seed=0):
+        rng = np.random.default_rng(seed)
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        ids = [f"doc{i}" for i in range(n)]
+        return q, c, ids
+
+    def test_search_matches_numpy(self):
+        q, c, ids = self._data()
+        idx = FlatIndex(64, engine="blocked")
+        # incremental adds (reference index_data batches, src/index.py:25)
+        idx.index_data(ids[:1000], c[:1000])
+        idx.index_data(ids[1000:], c[1000:])
+        res = idx.search_knn(q, 10)
+        ref_v, ref_i = exact_ref(q, c, 10)
+        assert len(res) == len(q)
+        for r, (rid, rv) in enumerate(res):
+            assert rid == [f"doc{j}" for j in ref_i[r]]
+            np.testing.assert_allclose(rv, ref_v[r], rtol=1e-4)
+
+    def test_sharded_search_matches_numpy(self):
+        q, c, ids = self._data(n=4100, nq=13)
+        mesh = meshlib.make_mesh()  # 8 cpu devices
+        idx = FlatIndex(64, mesh=mesh, engine="blocked")
+        idx.index_data(ids, c)
+        res = idx.search_knn(q, 25)
+        ref_v, ref_i = exact_ref(q, c, 25)
+        for r, (rid, rv) in enumerate(res):
+            assert rid == [f"doc{j}" for j in ref_i[r]], r
+            np.testing.assert_allclose(rv, ref_v[r], rtol=1e-4)
+
+    def test_query_batching(self):
+        q, c, ids = self._data(nq=50)
+        idx = FlatIndex(64, engine="blocked", query_batch=16)
+        idx.index_data(ids, c)
+        res = idx.search_knn(q, 5)
+        ref_v, ref_i = exact_ref(q, c, 5)
+        assert len(res) == 50
+        for r in (0, 16, 49):
+            assert res[r][0] == [f"doc{j}" for j in ref_i[r]]
+
+    def test_serialize_roundtrip(self, tmp_path):
+        q, c, ids = self._data(n=500, nq=4)
+        idx = FlatIndex(64, engine="blocked")
+        idx.index_data(ids, c)
+        idx.serialize(str(tmp_path))
+        idx2 = FlatIndex(64, engine="blocked")
+        idx2.deserialize_from(str(tmp_path))
+        assert idx2.ntotal == 500
+        r1 = idx.search_knn(q, 7)
+        r2 = idx2.search_knn(q, 7)
+        for a, b in zip(r1, r2):
+            assert a[0] == b[0]
+
+    def test_empty_index_raises(self):
+        idx = FlatIndex(8)
+        with pytest.raises(ValueError):
+            idx.search_knn(np.zeros((1, 8), np.float32), 3)
