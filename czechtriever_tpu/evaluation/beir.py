@@ -1,0 +1,188 @@
+"""BEIR-format dense retrieval evaluation harness.
+
+Native replacement for the reference's beir-library stack
+(/root/reference/src/beir_utils.py + eval_beir.py): the
+``GenericDataLoader`` corpus/queries/qrels format reader, the dense
+encoder adapter (DenseEncoderModel, beir_utils.py:24-133), exact
+retrieval (DenseRetrievalExactSearch -> our sharded FlatIndex), and
+``evaluate_model`` returning the same {NDCG@k, MAP@k, Recall@k, P@k,
+MRR@k} x100 dict (beir_utils.py:136-247).
+
+No network download: datasets must exist on disk in BEIR layout
+(corpus.jsonl, queries.jsonl, qrels/<split>.tsv).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+from collections import defaultdict
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from czechtriever_tpu.data.normalize_text import normalize as normalize_fn
+from czechtriever_tpu.models import bert
+from czechtriever_tpu.models.contriever import encode as encode_fn
+from czechtriever_tpu.evaluation import metrics as M
+from czechtriever_tpu.parallel import mesh as meshlib
+from czechtriever_tpu.retrieval.flat import FlatIndex
+
+logger = logging.getLogger(__name__)
+
+
+def load_beir_dataset(data_folder: str, split: str = "test"
+                      ) -> Tuple[Dict, Dict, Dict]:
+    """BEIR GenericDataLoader.load parity: reads corpus.jsonl,
+    queries.jsonl, qrels/<split>.tsv; keeps only queries with qrels."""
+    corpus: Dict[str, Dict[str, str]] = {}
+    with open(os.path.join(data_folder, "corpus.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            d = json.loads(line)
+            corpus[str(d["_id"])] = {"title": d.get("title", "") or "",
+                                     "text": d.get("text", "") or ""}
+    queries_all: Dict[str, str] = {}
+    with open(os.path.join(data_folder, "queries.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            d = json.loads(line)
+            queries_all[str(d["_id"])] = d["text"]
+    qrels: Dict[str, Dict[str, int]] = defaultdict(dict)
+    with open(os.path.join(data_folder, "qrels", f"{split}.tsv"),
+              encoding="utf-8") as f:
+        reader = csv.reader(f, delimiter="\t")
+        next(reader)  # header
+        for qid, did, score in reader:
+            qrels[str(qid)][str(did)] = int(score)
+    queries = {qid: queries_all[qid] for qid in qrels if qid in queries_all}
+    return corpus, dict(queries), dict(qrels)
+
+
+class DenseEncoder:
+    """Batch text -> embedding adapter (beir_utils.py DenseEncoderModel).
+
+    Sequence lengths are bucketed to multiples of ``bucket`` so the
+    jitted encoder compiles a bounded number of programs instead of one
+    per batch length (the reference pads to longest per batch, which is
+    fine for CUDA but would thrash XLA).
+    """
+
+    def __init__(self, params: bert.Params, mcfg: bert.BertConfig, tokenizer,
+                 max_length: int = 512, add_special_tokens: bool = True,
+                 norm_query: bool = False, norm_doc: bool = False,
+                 lower_case: bool = False, normalize_text: bool = False,
+                 pooling: str = "average", mesh=None, bucket: int = 64):
+        self.params = params
+        self.mcfg = mcfg
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.add_special_tokens = add_special_tokens
+        self.norm_query = norm_query
+        self.norm_doc = norm_doc
+        self.lower_case = lower_case
+        self.normalize_text = normalize_text
+        self.pooling = pooling
+        self.mesh = mesh
+        self.bucket = bucket
+        if mesh is not None:
+            self.params = meshlib.replicate(mesh, params)
+
+    def _encode_texts(self, texts, batch_size: int, normalize: bool
+                      ) -> np.ndarray:
+        if self.normalize_text:
+            texts = [normalize_fn(t) for t in texts]
+        if self.lower_case:
+            texts = [t.lower() for t in texts]
+        out = []
+        ws = self.mesh.shape[meshlib.DATA_AXIS] if self.mesh is not None else 1
+        for s in range(0, len(texts), batch_size):
+            chunk = texts[s:s + batch_size]
+            n_real = len(chunk)
+            ids, mask = self.tokenizer.batch_encode(
+                chunk, max_length=self.max_length,
+                add_special_tokens=self.add_special_tokens)
+            L = ids.shape[1]
+            Lp = min(self.max_length, -(-L // self.bucket) * self.bucket)
+            if Lp > L:
+                ids = np.pad(ids, ((0, 0), (0, Lp - L)))
+                mask = np.pad(mask, ((0, 0), (0, Lp - L)))
+            pad_rows = (-n_real) % (ws or 1)
+            if n_real < batch_size and len(texts) > batch_size:
+                pad_rows = batch_size - n_real  # steady-state shape
+            if pad_rows:
+                ids = np.pad(ids, ((0, pad_rows), (0, 0)))
+                mask = np.pad(mask, ((0, pad_rows), (0, 0)))
+                mask[n_real:, 0] = 1  # avoid all-pad rows
+            jids, jmask = jnp.asarray(ids), jnp.asarray(mask)
+            if self.mesh is not None:
+                jids = jax.device_put(jids, meshlib.batch_sharding(self.mesh))
+                jmask = jax.device_put(jmask, meshlib.batch_sharding(self.mesh))
+            emb = encode_fn(self.params, self.mcfg, jids, jmask,
+                            pooling_mode=self.pooling, normalize=normalize)
+            out.append(np.asarray(emb)[:n_real])
+        return np.concatenate(out, axis=0)
+
+    def encode_queries(self, queries, batch_size: int = 128) -> np.ndarray:
+        return self._encode_texts(list(queries), batch_size, self.norm_query)
+
+    def encode_corpus(self, corpus, batch_size: int = 128) -> np.ndarray:
+        """corpus: list of {title, text} dicts -> 'title text' join
+        (beir_utils.py:100-103)."""
+        texts = [(c["title"] + " " + c["text"]) if c.get("title") else c["text"]
+                 for c in corpus]
+        return self._encode_texts(texts, batch_size, self.norm_doc)
+
+
+def retrieve(encoder: DenseEncoder, corpus: Dict, queries: Dict,
+             top_k: int = 1000, batch_size: int = 128,
+             mesh=None) -> Dict[str, Dict[str, float]]:
+    """Exact dense retrieval -> results[qid][docid] = score."""
+    doc_ids = list(corpus.keys())
+    qids = list(queries.keys())
+    doc_emb = encoder.encode_corpus([corpus[d] for d in doc_ids], batch_size)
+    q_emb = encoder.encode_queries([queries[q] for q in qids], batch_size)
+
+    index = FlatIndex(doc_emb.shape[1], mesh=mesh)
+    index.index_data(doc_ids, doc_emb)
+    hits = index.search_knn(q_emb, min(top_k, len(doc_ids)))
+    results: Dict[str, Dict[str, float]] = {}
+    for qid, (dids, scores) in zip(qids, hits):
+        # BEIR drops self-hits where docid == qid (DenseRetrievalExactSearch)
+        results[qid] = {d: s for d, s in zip(dids, scores) if d != qid}
+    return results
+
+
+def evaluate_model(params: bert.Params, mcfg: bert.BertConfig, tokenizer,
+                   dataset: str, beir_dir: str = "BEIR/datasets",
+                   split: str = "test", batch_size: int = 128,
+                   norm_query: bool = False, norm_doc: bool = False,
+                   lower_case: bool = False, normalize_text: bool = False,
+                   pooling: str = "average", mesh=None, is_main: bool = True,
+                   k_values=M.DEFAULT_K_VALUES,
+                   save_results_path: Optional[str] = None
+                   ) -> Dict[str, float]:
+    """Reference evaluate_model parity (beir_utils.py:136-247):
+    returns {metric: value*100}."""
+    data_path = os.path.join(beir_dir, dataset)
+    corpus, queries, qrels = load_beir_dataset(data_path, split)
+    encoder = DenseEncoder(params, mcfg, tokenizer, norm_query=norm_query,
+                           norm_doc=norm_doc, lower_case=lower_case,
+                           normalize_text=normalize_text, pooling=pooling,
+                           mesh=mesh)
+    results = retrieve(encoder, corpus, queries, top_k=max(k_values),
+                       batch_size=batch_size, mesh=mesh)
+    if not is_main:
+        return {}
+    if save_results_path:
+        with open(save_results_path, "w") as f:
+            json.dump(results, f)
+    out: Dict[str, float] = {}
+    ndcg, _map, rec, prec = M.evaluate(qrels, results, k_values)
+    for metric in (ndcg, _map, rec, prec,
+                   M.evaluate_custom(qrels, results, k_values, "mrr")):
+        for key, value in metric.items():
+            out[key] = 100 * value
+    return out

@@ -1,0 +1,73 @@
+"""WordPiece tokenizer parity tests vs transformers BertTokenizer."""
+
+import numpy as np
+import pytest
+
+from czechtriever_tpu.data.tokenizer import WordPieceTokenizer
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "quick",
+         "brown", "fox", "##es", "jump", "##ed", "over", "do", "##g", "!",
+         "pra", "##ha", ",", "a", "un", "##aff", "##able"]
+
+TEXTS = ["The quick brown foxes jumped over the dog!",
+         "Praha, unaffable word", "  whitespace   test ", "punct!,!end",
+         "", "UPPER lower MiXeD", "Čeština with díacritics",
+         "word" * 60]  # > max_word_chars -> UNK
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tok")
+    vf = d / "vocab.txt"
+    vf.write_text("\n".join(VOCAB) + "\n")
+    from transformers import BertTokenizer
+    hf = BertTokenizer(str(vf), do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(str(vf), do_lower_case=True)
+    return hf, ours
+
+
+class TestParity:
+    def test_encode_matches_hf(self, pair):
+        hf, ours = pair
+        for t in TEXTS:
+            assert ours.encode(t) == hf.encode(t), repr(t)
+
+    def test_no_special_tokens(self, pair):
+        hf, ours = pair
+        t = TEXTS[0]
+        assert (ours.encode(t, add_special_tokens=False)
+                == hf.encode(t, add_special_tokens=False))
+
+    def test_truncation(self, pair):
+        hf, ours = pair
+        t = "the quick brown foxes " * 20
+        assert (ours.encode(t, max_length=16, truncation=True)
+                == hf.encode(t, max_length=16, truncation=True))
+
+    def test_special_ids(self, pair):
+        hf, ours = pair
+        assert ours.cls_token_id == hf.cls_token_id
+        assert ours.sep_token_id == hf.sep_token_id
+        assert ours.pad_token_id == hf.pad_token_id
+        assert ours.mask_token_id == hf.mask_token_id
+        # bos/eos mapped to CLS/SEP (reference src/moco.py:244-248)
+        assert ours.bos_token_id == ours.cls_token_id
+        assert ours.eos_token_id == ours.sep_token_id
+
+
+class TestBatch:
+    def test_batch_encode_shapes(self, pair):
+        _, ours = pair
+        ids, mask = ours.batch_encode(["the fox", "quick brown foxes jumped"],
+                                      max_length=8)
+        assert ids.shape == mask.shape == (2, 8)
+        np.testing.assert_array_equal(mask.sum(1), [4, 8])
+
+    def test_call_interface(self, pair):
+        _, ours = pair
+        out = ours("the fox")
+        assert out["input_ids"].shape[0] == 1
+
+    def test_decode_roundtrip(self, pair):
+        _, ours = pair
+        assert ours.decode(ours.encode("the quick foxes!")) == "the quick foxes !"
