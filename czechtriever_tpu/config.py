@@ -77,6 +77,9 @@ class Config:
     translator_model_id: str = "Helsinki-NLP/opus-mt-cs-en"
     pooling: str = "average"
     random_init: bool = False
+    # explicit architecture override: path to an HF-style BertConfig json
+    # (used when retriever_model_id has no local weights directory)
+    model_config_file: Optional[str] = None
 
     # --- batching (src/options.py:142-162) ---
     target_batch_size: int = 2048

@@ -1,0 +1,160 @@
+"""The training loop.
+
+TPU-native rewrite of /root/reference/train.py:148-380: one jitted call
+per *optimizer* step (the reference's per-microbatch Python loop with
+``update_freq`` bookkeeping, train.py:227-327, collapses into the
+lax.scan inside training/steps.py), with the reference's control cadence
+preserved — log every ``log_freq`` steps, eval (+ ``lastlog`` save) every
+``eval_freq``, ``step-N`` save every ``save_freq``, epoch-boundary
+``generate_offset`` re-randomization (train.py:249), and crash-resume
+from ``checkpoint/latest`` when the output dir already exists
+(train.py:458-466).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from czechtriever_tpu.config import Config
+from czechtriever_tpu.models import bert
+from czechtriever_tpu.parallel import mesh as meshlib
+from czechtriever_tpu.training import optim, state as statelib, steps
+from czechtriever_tpu.utils import checkpoint as ckpt
+from czechtriever_tpu.utils.logging_utils import MetricsLogger
+from czechtriever_tpu.utils.stats import WeightedAvgStats
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mcfg: bert.BertConfig,
+                 mesh=None, init_params=None,
+                 eval_hook: Optional[Callable[[object, int], Dict]] = None,
+                 metrics: Optional[MetricsLogger] = None):
+        self.cfg = cfg
+        self.mcfg = mcfg
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh()
+        self.eval_hook = eval_hook
+        self.metrics = metrics
+        self.tx = optim.make_optimizer(cfg)
+
+        data_size = self.mesh.shape[meshlib.DATA_AXIS]
+        global_micro = cfg.per_device_batch_size * data_size
+        if cfg.target_batch_size % global_micro != 0:
+            raise ValueError(
+                "target_batch_size must be divisible by "
+                "per_device_batch_size * data-axis size "
+                f"({cfg.target_batch_size} % {global_micro})")
+        self.update_freq = cfg.target_batch_size // global_micro
+        self.global_micro = global_micro
+
+        rng = jax.random.key(cfg.seed)
+        if cfg.contrastive_mode == "moco":
+            self.state = statelib.create_moco_state(rng, cfg, mcfg, self.tx,
+                                                    params=init_params)
+            step_fn = steps.make_moco_step(cfg, mcfg, self.tx)
+        elif cfg.contrastive_mode == "inbatch":
+            self.state = statelib.create_inbatch_state(rng, cfg, mcfg, self.tx,
+                                                       params=init_params)
+            step_fn = steps.make_inbatch_step(cfg, mcfg, self.tx)
+        else:
+            raise ValueError(f"unknown contrastive_mode: "
+                             f"{cfg.contrastive_mode}")
+
+        self.state = meshlib.replicate(self.mesh, self.state)
+        donate = (0,) if cfg.donate_state else ()
+        self._step_fn = jax.jit(step_fn, donate_argnums=donate)
+        self._rng = jax.random.key(cfg.seed + 1)
+
+    # -- resume -------------------------------------------------------------
+    def maybe_resume(self) -> int:
+        """Restore from <save_dir>/checkpoint/latest if present."""
+        path = ckpt.latest_path(self.cfg.save_dir)
+        if path is None:
+            return 0
+        host_state = jax.tree.map(np.asarray, self.state)
+        restored, _ = ckpt.load(host_state, path)
+        self.state = meshlib.replicate(self.mesh, restored)
+        step = int(np.asarray(restored.step))
+        logger.info("Resumed from %s at step %d", path, step)
+        return step
+
+    def save(self, name: str) -> None:
+        if meshlib.is_main():
+            ckpt.save(self.state, self.cfg, self.cfg.save_dir, name)
+
+    @property
+    def encoder_params(self):
+        return (self.state.params_q if hasattr(self.state, "params_q")
+                else self.state.params)
+
+    # -- core ---------------------------------------------------------------
+    def _device_batch(self, micro_batches):
+        stacked = {k: np.stack([m[k] for m in micro_batches])
+                   for k in micro_batches[0]}
+        batch = {"q_tokens": stacked["q_tokens"], "q_mask": stacked["q_mask"],
+                 "k_tokens": stacked["k_tokens"], "k_mask": stacked["k_mask"]}
+        return meshlib.shard_microbatches(self.mesh, batch)
+
+    def train_step(self, micro_batches) -> Dict[str, float]:
+        batch = self._device_batch(micro_batches)
+        self.state, stats = self._step_fn(self.state, batch, self._rng)
+        return stats
+
+    def fit(self, epoch_factory: Callable[[], Iterable[Dict[str, np.ndarray]]],
+            on_epoch_start: Optional[Callable[[], None]] = None) -> None:
+        """Run to cfg.total_steps. ``epoch_factory()`` yields microbatches
+        of global size per_device_batch_size * data_axis."""
+        cfg = self.cfg
+        step = int(np.asarray(self.state.step))
+        run_stats = WeightedAvgStats()
+        epoch = 0
+        t_last = time.perf_counter()
+        while step < cfg.total_steps:
+            if on_epoch_start is not None:
+                on_epoch_start()
+            logger.info("Start epoch %d", epoch)
+            micro_acc = []
+            for mb in epoch_factory():
+                micro_acc.append(mb)
+                if len(micro_acc) < self.update_freq:
+                    continue
+                stats = self.train_step(micro_acc)
+                micro_acc = []
+                step += 1
+                run_stats.update_means(
+                    {k: float(v) for k, v in stats.items()},
+                    self.global_micro)
+
+                if step % cfg.log_freq == 0:
+                    avg = run_stats.average_stats
+                    dt = time.perf_counter() - t_last
+                    sps = cfg.log_freq * cfg.target_batch_size / dt
+                    t_last = time.perf_counter()
+                    msg = f"{step} / {cfg.total_steps}"
+                    for k, v in sorted(avg.items()):
+                        msg += f" | {k}: {v:.3f}"
+                    msg += f" | pairs/s: {sps:.1f}"
+                    logger.info(msg)
+                    if self.metrics:
+                        self.metrics.log(step, avg, prefix="train")
+                        self.metrics.log(step, {"pairs_per_s": sps}, "train")
+                    run_stats.reset()
+
+                if cfg.eval_freq and step % cfg.eval_freq == 0 and step > 0:
+                    if self.eval_hook is not None:
+                        self.eval_hook(self, step)
+                    self.save("lastlog")
+
+                if cfg.save_freq and step % cfg.save_freq == 0 and step > 0:
+                    self.save(f"step-{step}")
+
+                if step >= cfg.total_steps:
+                    break
+            epoch += 1

@@ -1,0 +1,90 @@
+"""Orbax checkpointing with the reference's directory layout.
+
+Replaces torch.save checkpoints (/root/reference/src/utils.py:43-93):
+``<save_dir>/checkpoint/<name>/`` holds an orbax state dir plus
+``config.json``; a ``latest`` symlink points at the most recent save
+(``symlink_force`` semantics, src/utils.py:43-51). Step-named saves
+(``step-N``) and ``lastlog`` saves mirror train.py:354-376.
+
+The train state (params, EMA params, queue, optimizer moments, step)
+round-trips as one pytree — no state_dict key surgery. HF-format export
+for downstream consumers lives in models/hf_interop.py.
+"""
+
+from __future__ import annotations
+
+import errno
+import json
+import logging
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from czechtriever_tpu.config import Config
+
+logger = logging.getLogger(__name__)
+
+
+def symlink_force(target: str, link_name: str) -> None:
+    try:
+        os.symlink(target, link_name)
+    except OSError as e:
+        if e.errno == errno.EEXIST:
+            os.remove(link_name)
+            os.symlink(target, link_name)
+        else:
+            raise
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def save(state: Any, cfg: Config, save_dir: str, name: str) -> str:
+    """Save train state under <save_dir>/checkpoint/<name>, update
+    ``latest``. Returns the checkpoint path."""
+    root = os.path.join(os.path.abspath(save_dir), "checkpoint")
+    path = os.path.join(root, name)
+    os.makedirs(root, exist_ok=True)
+
+    state = jax.tree.map(np.asarray, state)  # pull to host once
+    ckptr = _ckptr()
+    state_path = os.path.join(path, "state")
+    if os.path.exists(state_path):
+        import shutil
+        shutil.rmtree(state_path)
+    os.makedirs(path, exist_ok=True)
+    ckptr.save(state_path, state)
+    ckptr.wait_until_finished()
+    cfg.save(os.path.join(path, "config.json"))
+    symlink_force(path, os.path.join(root, "latest"))
+    if name != "lastlog":
+        logger.info("Saving model to %s", path)
+    return path
+
+
+def load(abstract_state: Any, ckpt_path: str) -> Tuple[Any, Config]:
+    """Restore (state, config) from a checkpoint dir (or the ``latest``
+    symlink). ``abstract_state`` provides the pytree structure/shapes —
+    create it with the same config via training.state.create_*_state."""
+    ckpt_path = os.path.realpath(ckpt_path)
+    cfg = Config.load(os.path.join(ckpt_path, "config.json"))
+    ckptr = _ckptr()
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+        if hasattr(x, "dtype") else x, abstract_state)
+    state = ckptr.restore(os.path.join(ckpt_path, "state"), abstract)
+    return state, cfg
+
+
+def latest_path(save_dir: str) -> Optional[str]:
+    p = os.path.join(save_dir, "checkpoint", "latest")
+    return os.path.realpath(p) if os.path.exists(p) else None
+
+
+def save_step_json(path: str, step: int) -> None:
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"step": step}, f)

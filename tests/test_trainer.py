@@ -1,0 +1,155 @@
+"""Trainer/checkpoint/validate integration tests on the CPU mesh."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from czechtriever_tpu.config import Config
+from czechtriever_tpu.data.datasets import AugmentSpec, InMemoryDataset
+from czechtriever_tpu.data.tokenstream import write_token_file
+from czechtriever_tpu.models import bert
+from czechtriever_tpu.parallel import mesh as meshlib
+from czechtriever_tpu.training.trainer import Trainer
+from czechtriever_tpu.training.validate import eval_loss
+from czechtriever_tpu.utils import checkpoint as ckpt
+from czechtriever_tpu.utils.stats import WeightedAvgStats
+
+
+def tiny_mcfg():
+    return bert.BertConfig(vocab_size=211, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64, max_position_embeddings=64,
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0, dtype="float32")
+
+
+def tiny_cfg(tmp, **kw):
+    d = dict(queue_size=64, temperature=0.05, momentum=0.99, lr=1e-3,
+             warmup_steps=0, total_steps=6, scheduler="linear",
+             projection_size=32, contrastive_mode="moco",
+             target_batch_size=32, per_device_batch_size=2,  # ws=8 -> accum=2
+             per_device_eval_batch_size=8, log_freq=2, eval_freq=0,
+             save_freq=0, chunk_length=16, output_dir=str(tmp),
+             save_dir=str(tmp), donate_state=False)
+    d.update(kw)
+    return Config(**d)
+
+
+def micro_epoch(seed, n, B, L, vocab):
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        for _ in range(n):
+            ids = rng.integers(5, vocab, (2, B, L)).astype(np.int32)
+            mask = np.ones((B, L), np.int32)
+            yield {"q_tokens": ids[0], "q_mask": mask,
+                   "k_tokens": ids[1], "k_mask": mask}
+    return gen
+
+
+class TestTrainer:
+    def test_fit_runs_to_total_steps(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        t = Trainer(cfg, tiny_mcfg())
+        assert t.update_freq == 2
+        t.fit(micro_epoch(0, 100, t.global_micro, 16, 211))
+        assert int(np.asarray(t.state.step)) == 6
+
+    def test_save_resume_roundtrip(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, total_steps=3)
+        t = Trainer(cfg, tiny_mcfg())
+        t.fit(micro_epoch(0, 100, t.global_micro, 16, 211))
+        t.save("lastlog")
+        assert os.path.islink(str(tmp_path / "checkpoint" / "latest"))
+
+        t2 = Trainer(cfg.replace(total_steps=5), tiny_mcfg())
+        step = t2.maybe_resume()
+        assert step == 3
+        for a, b in zip(jax.tree.leaves(t.state.params_q),
+                        jax.tree.leaves(t2.state.params_q)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(t.state.queue),
+                                      np.asarray(t2.state.queue))
+        t2.fit(micro_epoch(1, 100, t2.global_micro, 16, 211))
+        assert int(np.asarray(t2.state.step)) == 5
+
+    def test_indivisible_batch_raises(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, target_batch_size=33)
+        with pytest.raises(ValueError):
+            Trainer(cfg, tiny_mcfg())
+
+    def test_inbatch_mode(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, contrastive_mode="inbatch", total_steps=2)
+        t = Trainer(cfg, tiny_mcfg())
+        t.fit(micro_epoch(0, 10, t.global_micro, 16, 211))
+        assert int(np.asarray(t.state.step)) == 2
+
+
+class TestValidate:
+    def test_eval_loss_metrics(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, per_device_batch_size=4,
+                       per_device_eval_batch_size=8)
+        mcfg = tiny_mcfg()
+        params = bert.init_params(jax.random.key(0), mcfg)
+        spec = AugmentSpec(ratio_min=0.4, ratio_max=0.6, bos_token_id=2,
+                           eos_token_id=3)
+        rng = np.random.default_rng(0)
+        docs = [rng.integers(5, 211, 40).astype(np.int32) for _ in range(32)]
+        ds = InMemoryDataset(docs, cfg.chunk_length, spec, seed=1)
+        corpus = ds.get_passage_from_all_docs()
+        res = eval_loss(params, mcfg, cfg, ds, corpus, step=0,
+                        output_dir=str(tmp_path))
+        assert set(res) == {"loss", "recall@10", "stdq", "stdk"}
+        assert np.isfinite(res["loss"])
+        assert 0 <= res["recall@10"] <= 100
+        assert os.path.exists(str(tmp_path / "logits" / "step-0.pkl"))
+
+
+class TestCheckpoint:
+    def test_latest_path_none(self, tmp_path):
+        assert ckpt.latest_path(str(tmp_path)) is None
+
+
+class TestStats:
+    def test_weighted_average(self):
+        s = WeightedAvgStats()
+        s.update({"loss": (2.0, 1), "acc": (50.0, 4)})
+        s.update({"loss": (4.0, 3)})
+        assert abs(s.stats["loss"] - 3.5) < 1e-9
+        assert s.average_stats["acc"] == 50.0
+        s.reset()
+        assert not s.raw_stats
+
+
+class TestTrainCLI:
+    def test_end_to_end_tiny(self, tmp_path, capsys):
+        """Full CLI run: token file -> a few MoCo steps -> checkpoint."""
+        from czechtriever_tpu.cli import train as train_cli
+        tokens = np.random.default_rng(0).integers(5, 200, 200_000)
+        tf = str(tmp_path / "tokens.bin")
+        write_token_file(tokens, tf)
+        mc = str(tmp_path / "model.json")
+        with open(mc, "w") as f:
+            json.dump({"vocab_size": 211, "hidden_size": 32,
+                       "num_hidden_layers": 2, "num_attention_heads": 2,
+                       "intermediate_size": 64,
+                       "max_position_embeddings": 64}, f)
+        out = str(tmp_path / "run")
+        train_cli.main([
+            "--train_data", tf, "--output_dir", out, "--save_dir", out,
+            "--contrastive_mode", "moco", "--queue_size", "64",
+            "--chunk_length", "16", "--target_batch_size", "16",
+            "--per_device_batch_size", "2", "--total_steps", "3",
+            "--log_freq", "1", "--lr", "1e-3", "--random_init",
+            "--retriever_model_id", "nonexistent-tiny",
+            "--model_config_file", mc, "--dtype", "float32",
+            "--projection_size", "32",
+        ])
+        assert os.path.exists(os.path.join(out, "checkpoint", "final"))
+        assert os.path.exists(os.path.join(out, "opt.txt"))
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        assert any("train/loss" in r for r in recs)
