@@ -182,7 +182,10 @@ class Config:
                 p.add_argument(name, nargs="+", default=f.default_factory())
                 continue
             if f.type in ("bool", bool):
-                p.add_argument(name, action="store_true", default=f.default)
+                # BooleanOptionalAction adds --<flag>/--no-<flag>, so
+                # default-True flags (e.g. donate_state) stay disableable
+                p.add_argument(name, action=argparse.BooleanOptionalAction,
+                               default=f.default)
             elif f.default is None:
                 # Optional[int]/Optional[float]/Optional[str]
                 typ = float if "float" in str(f.type) else (

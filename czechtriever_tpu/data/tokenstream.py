@@ -46,16 +46,25 @@ class TokenStream:
         self._mm = np.memmap(path, dtype="<u2", mode="r")
 
     # -- reference-compatible surface --------------------------------------
+    @property
+    def n_chunks(self) -> int:
+        return (self.tokens_count - self.offset) // self.chunk_length
+
     def __len__(self) -> int:
         """Chunks per epoch for this shard (src/data.py:306-307, divided
-        across shards)."""
-        n_chunks = (self.tokens_count - self.offset) // self.chunk_length
-        return n_chunks // self.num_shards
+        across shards). Exact for a single shard; with multiple shards the
+        partial tail buffer lands on one shard per epoch, so the true yield
+        is within buffer_size of this."""
+        if self.num_shards == 1:
+            return self.n_chunks
+        return self.n_chunks // self.num_shards
 
     @property
     def n_buffers(self) -> int:
-        return (self.tokens_count - self.offset) // (
-            self.chunk_length * self.buffer_size)
+        """Buffer count, including a partial tail buffer (the reference
+        floor-divides and silently drops the tail, src/data.py:305; for
+        files smaller than one buffer that would yield *zero* chunks)."""
+        return -(-self.n_chunks // self.buffer_size)
 
     def generate_offset(self) -> None:
         """Random epoch offset in [0, chunk_length) (src/data.py:353-354)."""
@@ -69,11 +78,12 @@ class TokenStream:
         within each buffer is permuted.
         """
         cl, bs = self.chunk_length, self.buffer_size
+        end = self.offset + self.n_chunks * cl  # whole chunks only
         buffer_order = self._rng.permutation(self.n_buffers)
         my_buffers = buffer_order[self.shard_id::self.num_shards]
         for b in my_buffers:
-            token_index = self.offset + int(b) * cl * bs
-            flat = np.asarray(self._mm[token_index: token_index + cl * bs],
+            start = self.offset + int(b) * cl * bs
+            flat = np.asarray(self._mm[start: min(start + cl * bs, end)],
                               dtype=np.int32)
             n = len(flat) // cl
             chunks = flat[: n * cl].reshape(n, cl)

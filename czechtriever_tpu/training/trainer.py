@@ -36,7 +36,9 @@ class Trainer:
     def __init__(self, cfg: Config, mcfg: bert.BertConfig,
                  mesh=None, init_params=None,
                  eval_hook: Optional[Callable[[object, int], Dict]] = None,
-                 metrics: Optional[MetricsLogger] = None):
+                 metrics: Optional[MetricsLogger] = None,
+                 teacher_mcfg: Optional[bert.BertConfig] = None,
+                 teacher_params=None):
         self.cfg = cfg
         self.mcfg = mcfg
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
@@ -63,6 +65,15 @@ class Trainer:
             self.state = statelib.create_inbatch_state(rng, cfg, mcfg, self.tx,
                                                        params=init_params)
             step_fn = steps.make_inbatch_step(cfg, mcfg, self.tx)
+        elif cfg.contrastive_mode == "distill":
+            from czechtriever_tpu.training import distill as distill_lib
+            if teacher_mcfg is None:
+                raise ValueError("distill mode requires teacher_mcfg")
+            self.state = statelib.create_distill_state(
+                rng, cfg, mcfg, teacher_mcfg, self.tx, params=init_params,
+                teacher_params=teacher_params)
+            step_fn = distill_lib.make_distill_step(cfg, mcfg, teacher_mcfg,
+                                                    self.tx)
         else:
             raise ValueError(f"unknown contrastive_mode: "
                              f"{cfg.contrastive_mode}")
@@ -116,11 +127,15 @@ class Trainer:
         run_stats = WeightedAvgStats()
         epoch = 0
         t_last = time.perf_counter()
+        # initial eval before step 1, matching reference train.py:218-244
+        if step == 0 and self.eval_hook is not None:
+            self.eval_hook(self, step)
         while step < cfg.total_steps:
             if on_epoch_start is not None:
                 on_epoch_start()
             logger.info("Start epoch %d", epoch)
             micro_acc = []
+            steps_this_epoch = 0
             for mb in epoch_factory():
                 micro_acc.append(mb)
                 if len(micro_acc) < self.update_freq:
@@ -128,6 +143,7 @@ class Trainer:
                 stats = self.train_step(micro_acc)
                 micro_acc = []
                 step += 1
+                steps_this_epoch += 1
                 run_stats.update_means(
                     {k: float(v) for k, v in stats.items()},
                     self.global_micro)
@@ -157,4 +173,10 @@ class Trainer:
 
                 if step >= cfg.total_steps:
                     break
+            if steps_this_epoch == 0:
+                raise RuntimeError(
+                    "Epoch produced zero optimizer steps: the dataset "
+                    f"yielded fewer than update_freq={self.update_freq} "
+                    "microbatches. Shrink target_batch_size or grow the "
+                    "training data.")
             epoch += 1

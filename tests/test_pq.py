@@ -66,6 +66,7 @@ class TestPQ:
                 rv, np.take_along_axis(ref_scores[r][None], ref_i[r][None], 1)[0],
                 rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_recall_vs_flat_on_clustered_data(self):
         """On structured data, PQ top-10 should recover most of the exact
         top-10 (sanity: compression preserves ranking signal)."""

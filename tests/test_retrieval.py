@@ -59,6 +59,7 @@ class TestEngines:
         np.testing.assert_array_equal(np.asarray(i), ref_i)
 
     @pytest.mark.parametrize("Q,N,D,K", [(7, 5000, 64, 100), (33, 2048, 128, 17)])
+    @pytest.mark.slow
     def test_pallas_interpret_matches_numpy(self, Q, N, D, K):
         rng = np.random.default_rng(Q)
         q = rng.normal(size=(Q, D)).astype(np.float32)
@@ -69,6 +70,7 @@ class TestEngines:
         np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(i), ref_i)
 
+    @pytest.mark.slow
     def test_n_valid_masks_tail(self):
         rng = np.random.default_rng(3)
         q = rng.normal(size=(4, 32)).astype(np.float32)

@@ -51,6 +51,7 @@ def micro_epoch(seed, n, B, L, vocab):
 
 
 class TestTrainer:
+    @pytest.mark.slow
     def test_fit_runs_to_total_steps(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         t = Trainer(cfg, tiny_mcfg())
@@ -58,6 +59,7 @@ class TestTrainer:
         t.fit(micro_epoch(0, 100, t.global_micro, 16, 211))
         assert int(np.asarray(t.state.step)) == 6
 
+    @pytest.mark.slow
     def test_save_resume_roundtrip(self, tmp_path):
         cfg = tiny_cfg(tmp_path, total_steps=3)
         t = Trainer(cfg, tiny_mcfg())
@@ -125,6 +127,7 @@ class TestStats:
 
 
 class TestTrainCLI:
+    @pytest.mark.slow
     def test_end_to_end_tiny(self, tmp_path, capsys):
         """Full CLI run: token file -> a few MoCo steps -> checkpoint."""
         from czechtriever_tpu.cli import train as train_cli

@@ -56,6 +56,7 @@ class TestInBatchStep:
         assert int(st.step) == 30
         assert float(stats["loss"]) < first * 0.5
 
+    @pytest.mark.slow
     def test_accumulation_sums_gradients(self):
         cfg = tiny_cfg(contrastive_mode="inbatch")
         mcfg = tiny_mcfg(dropout=0.0)
@@ -135,6 +136,7 @@ class TestShardedEquivalence:
     reproduce the reference's hand-written NCCL semantics."""
 
     @pytest.mark.parametrize("mode", ["inbatch", "moco"])
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, mode):
         assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
         cfg = tiny_cfg(contrastive_mode=mode)
