@@ -1,0 +1,101 @@
+"""Distillation pre-training CLI (reference distill.py).
+
+Trains a MoCo student against a frozen teacher: per step the student
+optimizes (1 - w) * contrastive + w * 100 * MSE(sim_student, sim_teacher)
+(distill.py:274-284). The reference runs the teacher as a dedicated rank-0
+NCCL service process (distill.py:378-419); here the teacher is a second
+frozen param tree time-sliced on the same TPU mesh (see
+training/distill.py for the topology rationale).
+
+Usage:
+  python -m czechtriever_tpu.cli.distill \\
+      --train_data corpus.u16bin --distill_weight 0.5 \\
+      --teacher_model_id models/teacher --queue_size 131072 ...
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from czechtriever_tpu.config import Config
+from czechtriever_tpu.cli import common
+from czechtriever_tpu.cli.train import build_val_dataset, make_eval_hook
+from czechtriever_tpu.data.datasets import AugmentSpec, PairBatcher
+from czechtriever_tpu.data.tokenstream import TokenStream
+from czechtriever_tpu.models import bert, hf_interop
+from czechtriever_tpu.parallel import mesh as meshlib
+from czechtriever_tpu.training.trainer import Trainer
+from czechtriever_tpu.utils.logging_utils import MetricsLogger, init_logger
+
+logger = logging.getLogger(__name__)
+
+
+def resolve_teacher(cfg: Config, mcfg: bert.BertConfig):
+    """Teacher config + params: a local HF dir (distill.py:504-509 loads
+    BAAI/bge-multilingual-gemma2; any BERT-family local dir works here) or
+    a random-init copy of the student geometry for smoke runs."""
+    tdir = common.resolve_model_dir(cfg.teacher_model_id)
+    if tdir is not None:
+        with open(os.path.join(tdir, "config.json")) as f:
+            tcfg = bert.BertConfig.from_hf_dict(json.load(f))
+        tcfg = bert.BertConfig(**{**tcfg.__dict__, "dtype": cfg.dtype,
+                                  "hidden_dropout_prob": 0.0,
+                                  "attention_probs_dropout_prob": 0.0})
+        tparams, _ = hf_interop.load_hf_dir(tdir)
+        return tcfg, tparams
+    logger.warning("teacher %r not found locally; using a random-init "
+                   "teacher with the student geometry", cfg.teacher_model_id)
+    import jax
+    tcfg = bert.BertConfig(**{**mcfg.__dict__, "hidden_dropout_prob": 0.0,
+                              "attention_probs_dropout_prob": 0.0})
+    return tcfg, bert.init_params(jax.random.key(cfg.seed + 99), tcfg)
+
+
+def main(argv=None) -> None:
+    cfg = Config.from_args(argv).replace(contrastive_mode="distill")
+    init_logger(cfg.output_dir)
+    cfg.print_options()
+    meshlib.init_distributed()
+    mesh = meshlib.make_mesh(cfg.mesh_data, cfg.mesh_model)
+
+    params, mcfg, tokenizer = common.resolve_model(cfg)
+    tcfg, tparams = resolve_teacher(cfg, mcfg)
+    spec = AugmentSpec.from_config(cfg, tokenizer)
+    if spec.bos_token_id is None and tokenizer is None:
+        spec.bos_token_id, spec.eos_token_id = 101, 102
+        spec.mask_id, spec.vocab_size = 103, mcfg.vocab_size
+
+    if not cfg.train_data:
+        raise SystemExit("--train_data is required (uint16 token file)")
+    stream = TokenStream(
+        cfg.train_data[0], cfg.chunk_length,
+        total_tokens=cfg.total_tokens, seed=cfg.seed,
+        shard_id=meshlib.process_index(), num_shards=meshlib.process_count())
+    batcher = PairBatcher(stream, spec,
+                          batch_size=cfg.per_device_batch_size
+                          * mesh.shape[meshlib.DATA_AXIS],
+                          seed=cfg.seed, prefetch=cfg.num_workers)
+    val_dataset = build_val_dataset(cfg, spec, tokenizer)
+
+    metrics = MetricsLogger(cfg.output_dir) if meshlib.is_main() else None
+    trainer = Trainer(cfg, mcfg, mesh=mesh,
+                      init_params=common.init_or_load_params(cfg, mcfg, params),
+                      eval_hook=make_eval_hook(cfg, val_dataset, tokenizer,
+                                               metrics, mesh),
+                      metrics=metrics,
+                      teacher_mcfg=tcfg, teacher_params=tparams)
+    start = trainer.maybe_resume()
+    logger.info("Distilling from step %d (w=%.2f, teacher hidden=%d)",
+                start, cfg.distill_weight, tcfg.hidden_size)
+    trainer.fit(batcher.epoch, on_epoch_start=stream.generate_offset)
+    trainer.save("final")
+    logger.info("Done at step %d", int(np.asarray(trainer.state.step)))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

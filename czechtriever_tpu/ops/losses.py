@@ -129,12 +129,27 @@ def l2_from_init_penalty(params, init_params, weight_decay: float) -> jnp.ndarra
     return weight_decay * jax.tree.reduce(jnp.add, sq, jnp.float32(0.0))
 
 
-def distill_sim_mse(student_q: jnp.ndarray, teacher_q: jnp.ndarray) -> jnp.ndarray:
-    """Similarity-matrix MSE distillation loss (distill.py:274-277):
-    MSE( student_q @ student_q.T, teacher_q @ teacher_q.T )."""
-    s = jnp.dot(student_q.astype(jnp.float32), student_q.astype(jnp.float32).T,
-                preferred_element_type=jnp.float32)
-    t = jnp.dot(teacher_q.astype(jnp.float32), teacher_q.astype(jnp.float32).T,
-                preferred_element_type=jnp.float32)
+def sim_matrix(emb: jnp.ndarray) -> jnp.ndarray:
+    """L2-normalize then self-similarity (distill.py:44-47
+    compute_sim_matrix: F.normalize(emb) @ F.normalize(emb).T)."""
+    e = emb.astype(jnp.float32)
+    e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+    return jnp.dot(e, e.T, preferred_element_type=jnp.float32)
+
+
+def distill_sim_mse(student_q: jnp.ndarray, teacher_q: jnp.ndarray,
+                    normalize: bool = True) -> jnp.ndarray:
+    """Similarity-matrix MSE distillation loss (distill.py:273-276):
+    MSE( sim(student_q), sim(teacher_q) ), where sim() L2-normalizes
+    rows first (compute_sim_matrix, distill.py:44-47)."""
+    if normalize:
+        s, t = sim_matrix(student_q), sim_matrix(teacher_q)
+    else:
+        s = jnp.dot(student_q.astype(jnp.float32),
+                    student_q.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+        t = jnp.dot(teacher_q.astype(jnp.float32),
+                    teacher_q.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
     t = jax.lax.stop_gradient(t)
     return jnp.mean((s - t) ** 2)

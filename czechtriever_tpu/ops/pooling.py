@@ -34,6 +34,17 @@ def cls_pool(last_hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return last_hidden[:, 0].astype(jnp.float32)
 
 
+def last_token_pool(last_hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Last *real* token pooling, the distillation teacher's pooling
+    (/root/reference/distill.py:57-66). The reference special-cases left
+    padding; indexing by the last mask=1 position covers both paddings
+    with static shapes."""
+    idx = jnp.maximum(mask.sum(axis=1) - 1, 0)  # [B]
+    return jnp.take_along_axis(
+        last_hidden, idx[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0].astype(jnp.float32)
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """torch.nn.functional.normalize parity (src/contriever.py:53-54):
     x / max(||x||_2, eps)."""
@@ -47,6 +58,8 @@ def pool(last_hidden: jnp.ndarray, mask: jnp.ndarray, pooling: str = "average",
         emb = mean_pool(last_hidden, mask)
     elif pooling == "cls":
         emb = cls_pool(last_hidden, mask)
+    elif pooling == "last":
+        emb = last_token_pool(last_hidden, mask)
     else:
         raise ValueError(f"unknown pooling: {pooling}")
     if normalize:

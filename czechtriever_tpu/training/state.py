@@ -42,6 +42,22 @@ class MoCoState:
     init_params: Optional[Any] = None
 
 
+@struct.dataclass
+class DistillState:
+    """MoCoDistill student + frozen teacher (reference distill.py topology:
+    the teacher is rank 0's separate fp16 model, distill.py:504-509; here
+    it is a second frozen param tree time-sliced on the same mesh)."""
+
+    step: jnp.ndarray
+    params_q: Any
+    params_k: Any
+    opt_state: Any
+    queue: jnp.ndarray
+    queue_ptr: jnp.ndarray
+    params_t: Any              # teacher params, never updated
+    init_params: Optional[Any] = None
+
+
 def init_queue(rng: jax.Array, queue_size: int, proj_size: int,
                dtype=jnp.float32) -> jnp.ndarray:
     """L2-normalized randn queue init (src/moco.py:218-219; the reference
@@ -76,3 +92,21 @@ def create_moco_state(rng: jax.Array, cfg, mcfg: bert.BertConfig, tx,
         opt_state=tx.init(params),
         queue=init_queue(q_rng, cfg.queue_size, cfg.projection_size),
         queue_ptr=jnp.int32(0), init_params=init_params)
+
+
+def create_distill_state(rng: jax.Array, cfg, mcfg: bert.BertConfig,
+                         tcfg: bert.BertConfig, tx,
+                         params: Optional[Any] = None,
+                         teacher_params: Optional[Any] = None) -> DistillState:
+    p_rng, q_rng, t_rng = jax.random.split(rng, 3)
+    moco = create_moco_state(jax.random.fold_in(p_rng, 0), cfg, mcfg, tx,
+                             params=params)
+    if teacher_params is None:
+        teacher_params = bert.init_params(t_rng, tcfg)
+    teacher_params = jax.tree.map(jnp.asarray, teacher_params)
+    del q_rng
+    return DistillState(
+        step=moco.step, params_q=moco.params_q, params_k=moco.params_k,
+        opt_state=moco.opt_state, queue=moco.queue,
+        queue_ptr=moco.queue_ptr, params_t=teacher_params,
+        init_params=moco.init_params)

@@ -152,13 +152,29 @@ class TestMoCo:
         assert np.abs(np.asarray(gk)).sum() == 0
 
     def test_distill_sim_mse(self):
+        # oracle = the reference compute_sim_matrix + mse_loss
+        # (distill.py:44-47,273-276): embeddings are L2-normalized first
+        rng = np.random.default_rng(7)
+        s = rng.normal(size=(4, 8)).astype(np.float32)
+        t = rng.normal(size=(4, 8)).astype(np.float32)
+
+        def ref_sim(x):
+            x = torch.nn.functional.normalize(torch.tensor(x), p=2, dim=1)
+            return x @ x.T
+
+        ref = torch.nn.functional.mse_loss(ref_sim(s), ref_sim(t)).item()
+        out = float(losses.distill_sim_mse(jnp.array(s), jnp.array(t)))
+        assert abs(out - ref) < 1e-5
+
+    def test_distill_sim_mse_unnormalized(self):
         rng = np.random.default_rng(7)
         s = rng.normal(size=(4, 8)).astype(np.float32)
         t = rng.normal(size=(4, 8)).astype(np.float32)
         ref = torch.nn.functional.mse_loss(
             torch.tensor(s) @ torch.tensor(s).T,
             torch.tensor(t) @ torch.tensor(t).T).item()
-        out = float(losses.distill_sim_mse(jnp.array(s), jnp.array(t)))
+        out = float(losses.distill_sim_mse(jnp.array(s), jnp.array(t),
+                                           normalize=False))
         assert abs(out - ref) < 1e-4
 
 
