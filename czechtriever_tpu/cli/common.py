@@ -55,7 +55,12 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
         if cfg.random_init:
             params = None
         else:
-            params, _ = hf_interop.load_hf_dir(model_dir)
+            try:
+                params, _ = hf_interop.load_hf_dir(model_dir)
+            except FileNotFoundError:
+                logger.warning("no weight file in %s; using random init",
+                               model_dir)
+                params = None
         return params, mcfg, tokenizer
 
     if cfg.model_config_file:
