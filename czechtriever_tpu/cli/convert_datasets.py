@@ -1,0 +1,123 @@
+"""Dataset -> BEIR-format converters
+(reference data_scripts/convertmrtydi2beir.py, parse_dareczech.py).
+
+Subcommands:
+  * ``mrtydi``   — Mr.TyDi layout (topic.tsv, collection/docs.jsonl,
+    qrels.{train,dev,test}.txt TREC files) -> corpus.jsonl +
+    queries.jsonl + qrels/<split>.tsv.
+  * ``dareczech`` — DAREczech TSV (id-indexed rows with query, title,
+    doc, label) -> BEIR with 2x-label scores and one query per unique
+    query text.
+
+Usage:
+  python -m czechtriever_tpu.cli.convert_datasets mrtydi IN_DIR OUT_DIR
+  python -m czechtriever_tpu.cli.convert_datasets dareczech \\
+      --input_file dev.tsv --output_dir beir/dareczech
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+
+
+def convert_mrtydi(data_path: str, output_path: str) -> None:
+    """convertmrtydi2beir.py:8-55 parity."""
+    os.makedirs(output_path, exist_ok=True)
+    with open(os.path.join(output_path, "queries.jsonl"), "w",
+              encoding="utf-8") as fout, \
+            open(os.path.join(data_path, "topic.tsv"), encoding="utf-8") as fin:
+        for x in csv.reader(fin, delimiter="\t"):
+            json.dump({"_id": x[0], "text": x[1]}, fout, ensure_ascii=False)
+            fout.write("\n")
+
+    with open(os.path.join(data_path, "collection", "docs.jsonl"),
+              encoding="utf-8") as fin, \
+            open(os.path.join(output_path, "corpus.jsonl"), "w",
+                 encoding="utf-8") as fout:
+        for line in fin:
+            x = json.loads(line)
+            x["_id"] = x.pop("id")
+            x["text"] = x.pop("contents")
+            x["title"] = ""
+            json.dump(x, fout, ensure_ascii=False)
+            fout.write("\n")
+
+    os.makedirs(os.path.join(output_path, "qrels"), exist_ok=True)
+    for split in ("test", "dev", "train"):
+        src = os.path.join(data_path, f"qrels.{split}.txt")
+        if not os.path.exists(src):
+            continue
+        with open(src, encoding="utf-8") as fin, \
+                open(os.path.join(output_path, "qrels", f"{split}.tsv"),
+                     "w", encoding="utf-8", newline="") as fout:
+            writer = csv.writer(fout, delimiter="\t")
+            writer.writerow(["query-id", "corpus-id", "score"])
+            for line in fin:
+                el = line.strip().split()  # TREC: qid iter docid score
+                writer.writerow([el[0], el[2], el[3]])
+
+
+def convert_dareczech(input_file: str, output_dir: str) -> None:
+    """parse_dareczech.py parity, without the pandas dependency: the TSV
+    is id-indexed with columns query/title/doc/label; scores are
+    2*label rounded to int; one query id per unique query text."""
+    os.makedirs(os.path.join(output_dir, "qrels"), exist_ok=True)
+    rows = []
+    with open(input_file, encoding="utf-8") as f:
+        reader = csv.DictReader(f, delimiter="\t")
+        id_col = reader.fieldnames[0]
+        for r in reader:
+            rows.append(r)
+
+    with open(os.path.join(output_dir, "corpus.jsonl"), "w",
+              encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps({
+                "_id": r[id_col],
+                "title": r.get("title") or "",
+                "text": str(r["doc"]),
+            }, ensure_ascii=False) + "\n")
+
+    queries = {}
+    with open(os.path.join(output_dir, "queries.jsonl"), "w",
+              encoding="utf-8") as f:
+        for r in rows:
+            text = str(r["query"])
+            if text in queries:
+                continue
+            qid = "q" + r[id_col]
+            queries[text] = qid
+            f.write(json.dumps({"_id": qid, "text": text},
+                               ensure_ascii=False) + "\n")
+
+    with open(os.path.join(output_dir, "qrels", "test.tsv"), "w",
+              encoding="utf-8") as f:
+        f.write("query_id\tdoc_id\tscore\n")
+        for r in rows:
+            qid = queries[str(r["query"])]
+            score = str(int(2 * float(r["label"])))
+            f.write(f"{qid}\t{r[id_col]}\t{score}\n")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    m = sub.add_parser("mrtydi")
+    m.add_argument("data_path")
+    m.add_argument("output_path")
+    d = sub.add_parser("dareczech")
+    d.add_argument("--input_file", required=True)
+    d.add_argument("--output_dir", required=True)
+    args = p.parse_args(argv)
+    if args.cmd == "mrtydi":
+        convert_mrtydi(args.data_path, args.output_path)
+    else:
+        convert_dareczech(args.input_file, args.output_dir)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -60,6 +60,8 @@ def main(argv=None) -> None:
     cfg = Config.from_args(argv).replace(contrastive_mode="distill")
     init_logger(cfg.output_dir)
     cfg.print_options()
+    from czechtriever_tpu.utils.slurm import init_signal_handler
+    init_signal_handler()  # SLURM preemption requeue (src/slurm.py:35-40)
     meshlib.init_distributed()
     mesh = meshlib.make_mesh(cfg.mesh_data, cfg.mesh_model)
 

@@ -88,6 +88,8 @@ def main(argv=None) -> None:
     cfg = Config.from_args(argv)
     init_logger(cfg.output_dir)
     cfg.print_options()
+    from czechtriever_tpu.utils.slurm import init_signal_handler
+    init_signal_handler()  # SLURM preemption requeue (src/slurm.py:35-40)
     meshlib.init_distributed()
     mesh = meshlib.make_mesh(cfg.mesh_data, cfg.mesh_model)
 
