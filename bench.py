@@ -28,7 +28,26 @@ import numpy as np
 REFERENCE_SAMPLES_PER_S = 846.0  # 500k * 2048 / (14 * 86400)
 
 
-def build(batch: int, accum: int, seq: int, queue_size: int, remat: bool):
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
+
+
+def model_flops_per_pair(mcfg, seq: int, queue_size: int,
+                         remat: bool) -> float:
+    """FLOPs per contrastive pair for the MFU estimate: q fwd+bwd
+    (x3, +1 recompute under remat) + k fwd (x1) over the non-embedding
+    matmuls and attention, plus the queue logits matmul fwd+bwd."""
+    D, F, L = (mcfg.hidden_size, mcfg.intermediate_size,
+               mcfg.num_hidden_layers)
+    per_layer_mm = 2 * (4 * D * D + 2 * D * F)       # qkvo + ffn, fwd
+    attn_mm = 2 * 2 * seq * D                        # QK^T + PV, fwd/token
+    fwd_per_token = L * (per_layer_mm + attn_mm)
+    passes = (4 if remat else 3) + 1                  # q fwd+bwd(+remat), k
+    queue_mm = 3 * 2 * mcfg.hidden_size * queue_size  # l_neg fwd + dq
+    return passes * fwd_per_token * seq + queue_mm
+
+
+def build(batch: int, accum: int, seq: int, queue_size: int, remat: bool,
+          attention_impl: str = "auto"):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config
@@ -39,7 +58,8 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat: bool):
     mcfg = bert.BertConfig(vocab_size=30522, hidden_size=768,
                            num_hidden_layers=12, num_attention_heads=12,
                            intermediate_size=3072,
-                           max_position_embeddings=512, dtype="bfloat16")
+                           max_position_embeddings=512, dtype="bfloat16",
+                           attention_impl=attention_impl)
     cfg = Config(queue_size=queue_size, temperature=0.05, momentum=0.9995,
                  projection_size=768, lr=1e-5, warmup_steps=20000,
                  total_steps=500000, scheduler="linear",
@@ -56,14 +76,15 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat: bool):
     b = meshlib.shard_microbatches(mesh, b)
 
     step_fn = jax.jit(steps.make_moco_step(cfg, mcfg, tx), donate_argnums=0)
-    return step_fn, st, b
+    return step_fn, st, b, cfg
 
 
 def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
-        remat: bool):
+        remat: bool, attention_impl: str = "auto"):
     import jax
-    step_fn, st, b = build(batch, accum, seq, queue_size, remat)
-    rng = jax.random.key(1)
+    step_fn, st, b, cfg = build(batch, accum, seq, queue_size, remat,
+                                attention_impl)
+    rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
     # a scalar readback is the only reliable sync, so we fetch the loss
@@ -89,13 +110,16 @@ def main():
     p.add_argument("--queue_size", type=int, default=131072)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--no-remat", dest="remat", action="store_false", default=True)
+    p.add_argument("--attention", default="auto",
+                   choices=("auto", "flash", "naive"))
     args = p.parse_args()
 
     batch = args.batch
     while True:
         try:
             sps, spstep, loss = run(batch, args.accum, args.seq,
-                                    args.queue_size, args.steps, args.remat)
+                                    args.queue_size, args.steps, args.remat,
+                                    args.attention)
             break
         except Exception as e:
             oom = ("RESOURCE_EXHAUSTED" in str(e)
@@ -105,13 +129,20 @@ def main():
                 batch //= 2
             else:
                 raise
+    from czechtriever_tpu.models import bert as bertlib
+    mcfg = bertlib.BertConfig(vocab_size=30522)
+    mfu = sps * model_flops_per_pair(mcfg, args.seq, args.queue_size,
+                                     args.remat) / V5E_PEAK_FLOPS
     print(f"batch={batch} accum={args.accum} seq={args.seq} "
-          f"step={spstep*1000:.1f}ms loss={loss:.4f}", file=sys.stderr)
+          f"step={spstep*1000:.1f}ms loss={loss:.4f} "
+          f"attention={args.attention} remat={args.remat} "
+          f"mfu={100*mfu:.1f}%", file=sys.stderr)
     print(json.dumps({
         "metric": "moco_train_pairs_per_s",
         "value": round(sps, 2),
         "unit": "pairs/s",
         "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_S, 3),
+        "mfu_pct": round(100 * mfu, 1),
     }))
 
 

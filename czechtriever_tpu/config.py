@@ -125,6 +125,10 @@ class Config:
     param_dtype: str = "float32"
     remat: bool = False  # jax.checkpoint over encoder layers
     donate_state: bool = True
+    # dropout/init PRNG: 'rbg' drives the TPU hardware RNG and is
+    # partitionable under GSPMD; 'threefry2x32' is jax's (slow) default —
+    # per-fwd dropout mask generation alone costs ~30ms at B=128,L=256
+    prng_impl: str = "rbg"
 
     # ------------------------------------------------------------------
     def __post_init__(self):

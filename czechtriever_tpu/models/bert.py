@@ -54,6 +54,10 @@ class BertConfig:
     initializer_range: float = 0.02
     pad_token_id: int = 0
     dtype: str = "bfloat16"  # compute dtype
+    # "flash": fused Pallas kernel (ops/attention.py, TPU only);
+    # "naive": XLA scores->softmax->dropout->matmul;
+    # "auto": flash on the TPU backend, naive elsewhere
+    attention_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -171,7 +175,8 @@ def _dropout(x, rate, rng, deterministic):
 
 
 def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
-    """One post-LN transformer layer. x: [B, L, D] in compute dtype."""
+    """One post-LN transformer layer. x: [B, L, D] in compute dtype;
+    bias: [B, L] f32 additive key mask (0 real, -1e30 pad)."""
     dt = cfg.compute_dtype
     B, L, D = x.shape
     H, hd = cfg.num_attention_heads, cfg.head_dim
@@ -183,16 +188,28 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
     k = proj(x, lp["k_kernel"], lp["k_bias"]).reshape(B, L, H, hd)
     v = proj(x, lp["v_kernel"], lp["v_bias"]).reshape(B, L, H, hd)
 
-    # scores in f32 for a stable softmax
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd) + bias  # bias: [B, 1, 1, L]
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = _dropout(probs, cfg.attention_probs_dropout_prob,
-                     rngs.get("attn"), deterministic).astype(dt)
-
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=dt).reshape(B, L, D)
+    rate = cfg.attention_probs_dropout_prob
+    attn_rng = rngs.get("attn")
+    use_flash = cfg.attention_impl == "flash" or (
+        cfg.attention_impl == "auto" and jax.default_backend() == "tpu")
+    if use_flash:
+        from czechtriever_tpu.ops import attention as attn_ops
+        det = deterministic or rate == 0.0 or attn_rng is None
+        seed = (jax.random.bits(attn_rng, (), "uint32").astype(jnp.int32)
+                if not det else jnp.int32(0))
+        ctx = attn_ops.flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), bias, seed, rate, det)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
+    else:
+        # scores in f32 for a stable softmax
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd) + bias[:, None, None, :]
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = _dropout(probs, rate, attn_rng, deterministic).astype(dt)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=dt).reshape(B, L, D)
     attn_out = proj(ctx, lp["attn_out_kernel"], lp["attn_out_bias"])
     attn_out = _dropout(attn_out, cfg.hidden_dropout_prob,
                         rngs.get("h1"), deterministic)
@@ -200,7 +217,10 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
                     lp["attn_ln"]["bias"], cfg.layer_norm_eps)
 
     h = proj(x, lp["ffn_in_kernel"], lp["ffn_in_bias"])
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dt)
+    # gelu in compute dtype: an f32 upcast here makes XLA save three
+    # f32[L,B,S,3072] buffers for backward (13.5 GB at B=128) and was the
+    # single largest HBM cost of the no-remat step
+    h = jax.nn.gelu(h, approximate=False)
     h = proj(h, lp["ffn_out_kernel"], lp["ffn_out_bias"])
     h = _dropout(h, cfg.hidden_dropout_prob, rngs.get("h2"), deterministic)
     x = _layer_norm(x + h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"],
@@ -239,9 +259,9 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
         emb_rng = layer_rng = None
     x = _dropout(x, cfg.hidden_dropout_prob, emb_rng, deterministic)
 
-    # additive attention bias [B, 1, 1, L]
+    # additive attention bias on keys, [B, L] (expanded per impl)
     neg = jnp.asarray(-1e30, jnp.float32)
-    bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, neg)
+    bias = jnp.where(attention_mask.astype(bool), 0.0, neg)
 
     def body(carry, lp_and_i):
         h = carry

@@ -1,0 +1,259 @@
+"""Fused multi-head attention kernels (Pallas/TPU) + naive reference.
+
+The reference encoder's attention is torch SDPA inside HF BERT
+(/root/reference/src/contriever.py:17-44 via transformers). A direct XLA
+translation (materialize scores -> softmax -> dropout -> weighted sum)
+is what models/bert.py shipped in round 1 — and profiling on v5e showed
+it is the step's bottleneck:
+
+  * f32 [B,H,L,L] probs + their bf16 copy are materialized in HBM every
+    layer (4.5 GB + 2.25 GB saved for backward at B=128, L=256 — the
+    reason the no-remat step OOMed at 33 GB);
+  * threefry dropout-mask generation costs ~30 ms per forward.
+
+``flash_attention`` fixes all three TPU-natively: one Pallas program per
+(batch, head) computes softmax(QK^T/sqrt(d) + bias) @ V entirely in VMEM
+(L=256 tiles: a [256,256] f32 score tile is 256 KB), applies attention
+dropout with the on-core hardware PRNG (pltpu.prng_*), and saves only
+(m, l) softmax stats [B,H,L] for the backward, which regenerates the
+identical dropout mask from the same seed instead of storing it. A
+custom VJP computes dQ/dK/dV in a second fused kernel.
+
+Numerics: scores/softmax in f32 (matching the naive path), probs cast to
+the compute dtype for the @V matmul (also matching). Dropout semantics:
+keep-prob 1-p, kept values scaled by 1/(1-p) (torch parity); the mask
+*pattern* differs from jax.random.bernoulli, which only changes which
+random stream drives the regularization.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128  # pad L to a lane multiple for clean tiling
+
+
+def naive_attention(q, k, v, bias, dropout_rate: float = 0.0,
+                    dropout_rng: Optional[jax.Array] = None,
+                    deterministic: bool = True):
+    """Reference XLA path. q,k,v: [B,H,L,D]; bias: [B,L] additive f32 on
+    keys. Returns [B,H,L,D] in q.dtype."""
+    dt = q.dtype
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(q.shape[-1]) + bias[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    if not deterministic and dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dt), v,
+                      preferred_element_type=dt)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _keep_mask(seed, rate: float, shape):
+    """Deterministic dropout keep-mask from the on-core PRNG. Seeded per
+    (batch, head) program so fwd and bwd regenerate the same bits."""
+    pltpu.prng_seed(seed)
+    # prng_random_bits yields *signed* int32 words: bitcast before the
+    # unsigned threshold compare (int32 >= uint32(2^31) would promote to
+    # an always-true compare and silently disable dropout)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    return bits >= threshold
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref,
+                l_ref, *, rate: float, deterministic: bool):
+    q = q_ref[0, 0].astype(jnp.float32)          # [L, D]
+    k = k_ref[0, 0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    s = s * (1.0 / math.sqrt(q.shape[-1])) + bias_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1)                       # [L]
+    p = jnp.exp(s - m[:, None])
+    l = jnp.sum(p, axis=-1)                       # [L]
+    p = p / l[:, None]
+    if not deterministic and rate > 0.0:
+        b, h = pl.program_id(0), pl.program_id(1)
+        keep = _keep_mask(seed_ref[0] + b * pl.num_programs(1) + h, rate,
+                          p.shape)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    o_ref[0, 0] = jnp.dot(p.astype(v_ref.dtype), v_ref[0, 0],
+                          preferred_element_type=jnp.float32
+                          ).astype(o_ref.dtype)
+    m_ref[0, 0, 0] = m
+    l_ref[0, 0, 0] = l
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, m_ref, l_ref,
+                do_ref, dq_ref, dk_ref, dv_ref, *, rate: float,
+                deterministic: bool):
+    scale = 1.0 / math.sqrt(q_ref.shape[-1])
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    s = s * scale + bias_ref[0, 0][None, :]
+    p = (jnp.exp(s - m_ref[0, 0, 0][:, None])
+         / l_ref[0, 0, 0][:, None])  # [L,L]
+
+    if not deterministic and rate > 0.0:
+        b, h = pl.program_id(0), pl.program_id(1)
+        keep = _keep_mask(seed_ref[0] + b * pl.num_programs(1) + h, rate,
+                          p.shape)
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p * inv, 0.0)       # dropped probs (fwd value)
+        dv_ref[0, 0] = jnp.dot(pd.T.astype(do_ref.dtype), do,
+                               preferred_element_type=jnp.float32
+                               ).astype(dv_ref.dtype)
+        dpd = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dpd * inv, 0.0)
+    else:
+        dv_ref[0, 0] = jnp.dot(p.T.astype(do_ref.dtype), do,
+                               preferred_element_type=jnp.float32
+                               ).astype(dv_ref.dtype)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+
+    # softmax vjp: dS = P * (dP - sum(dP * P, axis=-1))
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - row)
+    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                    * scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+                    * scale).astype(dk_ref.dtype)
+
+
+def _pad_l(x, L_pad, axis):
+    pad = L_pad - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention(q, k, v, bias, seed, dropout_rate: float = 0.0,
+                    deterministic: bool = True):
+    """Fused attention. q,k,v: [B,H,L,D]; bias: [B,L] f32 additive on
+    keys (0 for real tokens, -1e30 for pads); seed: int32 scalar driving
+    the attention-dropout PRNG."""
+    o, _, _ = _flash_fwd(q, k, v, bias, seed, dropout_rate, deterministic)
+    return o
+
+
+def _flash_call(q, k, v, bias, seed, rate, deterministic, interpret=False):
+    B, H, L, D = q.shape
+    L_pad = -(-L // LANE) * LANE
+    qp = _pad_l(q, L_pad, 2)
+    kp = _pad_l(k, L_pad, 2)
+    vp = _pad_l(v, L_pad, 2)
+    # padded keys must never win the softmax
+    biasp = _pad_l(bias, L_pad, 1) + jnp.where(
+        jnp.arange(L_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
+    biasp = biasp[:, None, :]  # [B, 1, L_pad]: TPU block rule needs the
+    # last-two block dims to divide (8,128) or equal the array dims
+
+    kern = functools.partial(_fwd_kernel, rate=rate,
+                             deterministic=deterministic)
+    o, m, l = pl.pallas_call(
+        kern,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad), lambda b, h: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, L_pad), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, L_pad), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, L_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, biasp)
+    return o[:, :, :L], m, l, (qp, kp, vp, biasp, L_pad)
+
+
+def _flash_fwd(q, k, v, bias, seed, rate, deterministic):
+    o, m, l, _ = _flash_call(q, k, v, bias, seed, rate, deterministic)
+    return o, m, l
+
+
+def _flash_fwd_vjp(q, k, v, bias, seed, rate, deterministic):
+    o, m, l, _ = _flash_call(q, k, v, bias, seed, rate, deterministic)
+    return o, (q, k, v, bias, seed, m, l)
+
+
+def _flash_bwd_vjp(rate, deterministic, res, g):
+    q, k, v, bias, seed, m, l = res
+    B, H, L, D = q.shape
+    L_pad = m.shape[-1]
+    qp = _pad_l(q, L_pad, 2)
+    kp = _pad_l(k, L_pad, 2)
+    vp = _pad_l(v, L_pad, 2)
+    biasp = _pad_l(bias, L_pad, 1) + jnp.where(
+        jnp.arange(L_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
+    biasp = biasp[:, None, :]
+    gp = _pad_l(g, L_pad, 2)
+    # guard the padded rows of l against division by zero
+    l = jnp.where(l == 0.0, 1.0, l)
+
+    kern = functools.partial(_bwd_kernel, rate=rate,
+                             deterministic=deterministic)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, L_pad), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, L_pad), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, L_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, L_pad, D), v.dtype),
+        ],
+        interpret=False,
+    )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, biasp, m, l, gp)
+    return (dq[:, :, :L], dk[:, :, :L], dv[:, :, :L],
+            jnp.zeros_like(bias), jnp.zeros_like(seed))
+
+
+flash_attention.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
+
+
+def flash_attention_interpret(q, k, v, bias, seed, dropout_rate=0.0,
+                              deterministic=True):
+    """Interpret-mode forward for CPU tests of the kernel body."""
+    o, _, _, _ = _flash_call(q, k, v, bias, seed, dropout_rate,
+                             deterministic, interpret=True)
+    return o

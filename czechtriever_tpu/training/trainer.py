@@ -56,7 +56,7 @@ class Trainer:
         self.update_freq = cfg.target_batch_size // global_micro
         self.global_micro = global_micro
 
-        rng = jax.random.key(cfg.seed)
+        rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         if cfg.contrastive_mode == "moco":
             self.state = statelib.create_moco_state(rng, cfg, mcfg, self.tx,
                                                     params=init_params)
@@ -81,7 +81,7 @@ class Trainer:
         self.state = meshlib.replicate(self.mesh, self.state)
         donate = (0,) if cfg.donate_state else ()
         self._step_fn = jax.jit(step_fn, donate_argnums=donate)
-        self._rng = jax.random.key(cfg.seed + 1)
+        self._rng = jax.random.key(cfg.seed + 1, impl=cfg.prng_impl)
 
     # -- resume -------------------------------------------------------------
     def maybe_resume(self) -> int:
@@ -107,11 +107,11 @@ class Trainer:
 
     # -- core ---------------------------------------------------------------
     def _device_batch(self, micro_batches):
+        keep = ("q_tokens", "q_mask", "k_tokens", "k_mask",
+                "t_tokens", "t_mask")  # t_*: distill teacher tokens
         stacked = {k: np.stack([m[k] for m in micro_batches])
-                   for k in micro_batches[0]}
-        batch = {"q_tokens": stacked["q_tokens"], "q_mask": stacked["q_mask"],
-                 "k_tokens": stacked["k_tokens"], "k_mask": stacked["k_mask"]}
-        return meshlib.shard_microbatches(self.mesh, batch)
+                   for k in micro_batches[0] if k in keep}
+        return meshlib.shard_microbatches(self.mesh, stacked)
 
     def train_step(self, micro_batches) -> Dict[str, float]:
         batch = self._device_batch(micro_batches)
