@@ -19,9 +19,12 @@ Doc ordering follows trec_eval: score descending, ties broken by doc id
 in descending lexicographic order.
 
 Inputs mirror pytrec_eval: ``qrels[qid][docid] -> int rel``,
-``results[qid][docid] -> float score``. Queries with no positive qrels
-are skipped for mrr/top-k-accuracy (BEIR behavior) but contribute zeros
-through pytrec_eval for the standard measures only when present in qrels.
+``results[qid][docid] -> float score``. Averaging matches pytrec_eval /
+BEIR exactly: every query present in qrels counts in the denominator,
+and a query with no positive judgments contributes 0 to every metric
+(pytrec_eval emits 0 for it; BEIR's custom mrr/accuracy divide by
+len(qrels)) — skipping such queries would silently inflate averages on
+datasets with zero-positive queries.
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ def ndcg_cut(qrels: Qrels, results: Results, k: int) -> float:
     for qid, rels, ranked in _per_query(qrels, results):
         pos = sorted((r for r in rels.values() if r > 0), reverse=True)
         if not pos:
+            vals.append(0.0)  # pytrec_eval: judged query, zero positives
             continue
         dcg = sum(rels.get(d, 0) / math.log2(i + 2)
                   for i, d in enumerate(ranked[:k]) if rels.get(d, 0) > 0)
@@ -63,6 +67,7 @@ def map_cut(qrels: Qrels, results: Results, k: int) -> float:
     for qid, rels, ranked in _per_query(qrels, results):
         R = sum(1 for r in rels.values() if r > 0)
         if R == 0:
+            vals.append(0.0)
             continue
         hits, ap = 0, 0.0
         for i, d in enumerate(ranked[:k]):
@@ -78,6 +83,7 @@ def recall(qrels: Qrels, results: Results, k: int) -> float:
     for qid, rels, ranked in _per_query(qrels, results):
         relset = {d for d, r in rels.items() if r > 0}
         if not relset:
+            vals.append(0.0)
             continue
         vals.append(len(relset & set(ranked[:k])) / len(relset))
     return sum(vals) / max(1, len(vals))
@@ -88,6 +94,7 @@ def precision(qrels: Qrels, results: Results, k: int) -> float:
     for qid, rels, ranked in _per_query(qrels, results):
         relset = {d for d, r in rels.items() if r > 0}
         if not relset:
+            vals.append(0.0)
             continue
         vals.append(len(relset & set(ranked[:k])) / k)
     return sum(vals) / max(1, len(vals))
@@ -98,6 +105,7 @@ def mrr(qrels: Qrels, results: Results, k: int) -> float:
     for qid, rels, ranked in _per_query(qrels, results):
         relset = {d for d, r in rels.items() if r > 0}
         if not relset:
+            vals.append(0.0)
             continue
         rr = 0.0
         for i, d in enumerate(ranked[:k]):
@@ -113,6 +121,7 @@ def recall_cap(qrels: Qrels, results: Results, k: int) -> float:
     for qid, rels, ranked in _per_query(qrels, results):
         relset = {d for d, r in rels.items() if r > 0}
         if not relset:
+            vals.append(0.0)
             continue
         vals.append(len(relset & set(ranked[:k])) / min(k, len(relset)))
     return sum(vals) / max(1, len(vals))
@@ -134,6 +143,7 @@ def top_k_accuracy(qrels: Qrels, results: Results, k: int) -> float:
     for qid, rels, ranked in _per_query(qrels, results):
         relset = {d for d, r in rels.items() if r > 0}
         if not relset:
+            vals.append(0.0)
             continue
         vals.append(1.0 if relset & set(ranked[:k]) else 0.0)
     return sum(vals) / max(1, len(vals))

@@ -59,6 +59,19 @@ class TestMetrics:
         # q1 top2: d1 judged, d5 not -> 0.5; q2 top2: d4 not, d3 judged -> 0.5
         assert abs(M.hole(self.QRELS, self.RESULTS, 2) - 0.5) < 1e-6
 
+    def test_zero_positive_query_counts_in_denominator(self):
+        """pytrec_eval / BEIR averaging: a query judged only with
+        rel=0 docs contributes 0 to every metric instead of being
+        skipped (pins the parity decision from round 2)."""
+        qrels = {**self.QRELS, "q3": {"d8": 0}}  # judged, no positives
+        base_n = M.ndcg_cut(self.QRELS, self.RESULTS, 10)
+        with_zero = M.ndcg_cut(qrels, self.RESULTS, 10)
+        assert with_zero == pytest.approx(base_n * 2 / 3)
+        for fn in (M.map_cut, M.recall, M.precision, M.mrr,
+                   M.recall_cap, M.top_k_accuracy):
+            assert fn(qrels, self.RESULTS, 10) == pytest.approx(
+                fn(self.QRELS, self.RESULTS, 10) * 2 / 3), fn.__name__
+
     def test_tie_break_docid_desc(self):
         ranked = M.trec_sort({"a": 1.0, "b": 1.0, "c": 2.0})
         assert ranked == ["c", "b", "a"]
