@@ -174,7 +174,8 @@ class PairBatcher:
 
     def __init__(self, stream: TokenStream, spec: AugmentSpec,
                  batch_size: int, max_length: Optional[int] = None,
-                 seed: int = 0, prefetch: int = 4):
+                 seed: int = 0, prefetch: int = 4,
+                 use_native: Optional[bool] = None, num_threads: int = 4):
         self.stream = stream
         self.spec = spec
         self.batch_size = batch_size
@@ -182,9 +183,32 @@ class PairBatcher:
         self.max_length = max_length or (stream.chunk_length + n_special)
         self.collator = PairCollator(self.max_length)
         self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.prefetch = prefetch
+        self.num_threads = num_threads
+        # native C++ crop/augment path (native/pairgen.cpp): one
+        # multithreaded call per batch instead of a per-example loop
+        if use_native is None:
+            from czechtriever_tpu.data import native_loader
+            use_native = native_loader.available()
+        self.use_native = use_native
+        self._batch_counter = 0
 
     def _epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.use_native:
+            from czechtriever_tpu.data import native_loader
+            chunks: list = []
+            for chunk in self.stream:
+                chunks.append(chunk)
+                if len(chunks) == self.batch_size:
+                    self._batch_counter += 1
+                    yield native_loader.build_pair_batch(
+                        np.stack(chunks), self.spec,
+                        seed=self.seed * 1_000_003 + self._batch_counter,
+                        max_length=self.max_length,
+                        num_threads=self.num_threads)
+                    chunks = []
+            return
         examples = []
         for chunk in self.stream:
             examples.append(self.spec.make_pair(chunk, self.rng))
