@@ -47,13 +47,19 @@ def resolve_teacher(cfg: Config, mcfg: bert.BertConfig):
                                   "hidden_dropout_prob": 0.0,
                                   "attention_probs_dropout_prob": 0.0})
         tparams, _ = hf_interop.load_hf_dir(tdir)
-        return tcfg, tparams
+        ttok = None
+        try:
+            from czechtriever_tpu.data.tokenizer import load_tokenizer
+            ttok = load_tokenizer(tdir)
+        except Exception:
+            pass
+        return tcfg, tparams, ttok
     logger.warning("teacher %r not found locally; using a random-init "
                    "teacher with the student geometry", cfg.teacher_model_id)
     import jax
     tcfg = bert.BertConfig(**{**mcfg.__dict__, "hidden_dropout_prob": 0.0,
                               "attention_probs_dropout_prob": 0.0})
-    return tcfg, bert.init_params(jax.random.key(cfg.seed + 99), tcfg)
+    return tcfg, bert.init_params(jax.random.key(cfg.seed + 99), tcfg), None
 
 
 def main(argv=None) -> None:
@@ -66,7 +72,7 @@ def main(argv=None) -> None:
     mesh = meshlib.make_mesh(cfg.mesh_data, cfg.mesh_model)
 
     params, mcfg, tokenizer = common.resolve_model(cfg)
-    tcfg, tparams = resolve_teacher(cfg, mcfg)
+    tcfg, tparams, teacher_tok = resolve_teacher(cfg, mcfg)
     spec = AugmentSpec.from_config(cfg, tokenizer)
     if spec.bos_token_id is None and tokenizer is None:
         spec.bos_token_id, spec.eos_token_id = 101, 102
@@ -91,10 +97,24 @@ def main(argv=None) -> None:
                                                metrics, mesh),
                       metrics=metrics,
                       teacher_mcfg=tcfg, teacher_params=tparams)
+    # teacher with its own vocabulary: decode + re-tokenize queries with
+    # the instruction prompt (distill.py:395-405)
+    epoch_fn = batcher.epoch
+    if teacher_tok is not None and tokenizer is not None and \
+            getattr(teacher_tok, "vocab_size", None) != getattr(
+                tokenizer, "vocab_size", None):
+        from czechtriever_tpu.data.datasets import make_teacher_retokenizer
+        retok = make_teacher_retokenizer(
+            tokenizer, teacher_tok,
+            max_length=min(tcfg.max_position_embeddings, 512))
+
+        def epoch_fn():
+            return (retok(b) for b in batcher.epoch())
+
     start = trainer.maybe_resume()
     logger.info("Distilling from step %d (w=%.2f, teacher hidden=%d)",
                 start, cfg.distill_weight, tcfg.hidden_size)
-    trainer.fit(batcher.epoch, on_epoch_start=stream.generate_offset)
+    trainer.fit(epoch_fn, on_epoch_start=stream.generate_offset)
     trainer.save("final")
     logger.info("Done at step %d", int(np.asarray(trainer.state.step)))
 

@@ -112,6 +112,8 @@ class Config:
     log_freq: int = 100
     eval_freq: int = 1000
     save_freq: int = 50000
+    # per-parameter gradient-norm logging (reference train.py:295-309)
+    log_param_grad_norms: bool = False
     maxload: Optional[int] = None
     label_smoothing: float = 0.0
 

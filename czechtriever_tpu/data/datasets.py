@@ -223,6 +223,43 @@ class PairBatcher:
         return self._epoch()
 
 
+def get_detailed_instruct(task_description: str, query: str) -> str:
+    """Teacher instruction prompt (distill.py:55-56)."""
+    return f"<instruct>{task_description}\n<query>{query}"
+
+
+DISTILL_TASK = ("Given a web search query, retrieve relevant passages "
+                "that answer the query.")  # distill.py:404
+
+
+def make_teacher_retokenizer(student_tokenizer, teacher_tokenizer,
+                             task_description: str = DISTILL_TASK,
+                             max_length: int = 512):
+    """Batch transform adding ``t_tokens``/``t_mask``: decode the student
+    query tokens back to text and re-tokenize with the teacher tokenizer
+    plus the instruction prompt (distill.py:395-405). Use when the
+    teacher has its own vocabulary; without it the distill step feeds the
+    student's q_tokens to the teacher. Pads to the *fixed* ``max_length``
+    (the reference pads to the batch max with pad_to_multiple_of=8,
+    which would recompile the jitted step per unique length)."""
+    from czechtriever_tpu.data.collator import pad_batch
+
+    def transform(batch):
+        texts = [student_tokenizer.decode(
+            [int(t) for t, m in zip(ids, mask) if m],
+            skip_special_tokens=True)
+            for ids, mask in zip(batch["q_tokens"], batch["q_mask"])]
+        prompts = [get_detailed_instruct(task_description, t)
+                   for t in texts]
+        seqs = [np.asarray(teacher_tokenizer.encode(
+            p, max_length=max_length, truncation=True), np.int32)
+            for p in prompts]
+        ids, mask = pad_batch(seqs, max_length)
+        return {**batch, "t_tokens": ids, "t_mask": mask}
+
+    return transform
+
+
 class DistillBatcher:
     """Single-crop query batches for distillation (reference
     DistillDataset, src/data.py:211-285: one random crop per chunk,

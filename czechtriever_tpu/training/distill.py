@@ -125,6 +125,9 @@ def make_distill_step(cfg, mcfg: bert.BertConfig, tcfg: bert.BertConfig,
         params_q = optax.apply_updates(state.params_q, updates)
         out_stats = _mean_stats(stats)
         out_stats["grad_norm"] = global_norm(grads)
+        if getattr(cfg, "log_param_grad_norms", False):
+            from czechtriever_tpu.training.steps import per_param_grad_norms
+            out_stats.update(per_param_grad_norms(grads))
         return state.replace(step=state.step + 1, params_q=params_q,
                              params_k=params_k, opt_state=opt_state,
                              queue=queue, queue_ptr=ptr), out_stats

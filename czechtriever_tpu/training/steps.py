@@ -49,6 +49,18 @@ def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
 
 
+def per_param_grad_norms(grads) -> Stats:
+    """Per-parameter gradient norms (reference train.py:295-309 logs one
+    scalar per named parameter). With scan-stacked layers each entry
+    covers that parameter across all layers."""
+    out: Stats = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        name = ".".join(str(getattr(k, "key", k)) for k in path)
+        out[f"grad_norms/{name}"] = jnp.sqrt(
+            jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+    return out
+
+
 def _mean_stats(stats: Stats) -> Stats:
     return {k: v.mean() for k, v in stats.items()}
 
@@ -95,6 +107,8 @@ def make_inbatch_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
         params = optax.apply_updates(state.params, updates)
         out_stats = _mean_stats(stats)
         out_stats["grad_norm"] = global_norm(grads)
+        if getattr(cfg, "log_param_grad_norms", False):
+            out_stats.update(per_param_grad_norms(grads))
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), out_stats
 
@@ -159,6 +173,8 @@ def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
         params_q = optax.apply_updates(state.params_q, updates)
         out_stats = _mean_stats(stats)
         out_stats["grad_norm"] = global_norm(grads)
+        if getattr(cfg, "log_param_grad_norms", False):
+            out_stats.update(per_param_grad_norms(grads))
         return state.replace(step=state.step + 1, params_q=params_q,
                              params_k=params_k, opt_state=opt_state,
                              queue=queue, queue_ptr=ptr), out_stats

@@ -130,6 +130,27 @@ class TestMoCoStep:
         assert np.isfinite(losses_seen).all()
 
 
+class TestPerParamGradNorms:
+    def test_logged_and_consistent_with_global(self):
+        cfg = tiny_cfg(contrastive_mode="inbatch",
+                       log_param_grad_norms=True)
+        mcfg = tiny_mcfg()
+        tx = optim.make_optimizer(cfg)
+        st = statelib.create_inbatch_state(jax.random.key(0), cfg, mcfg, tx)
+        step_fn = jax.jit(steps.make_inbatch_step(cfg, mcfg, tx))
+        batch = make_batch(np.random.default_rng(0), 1, 8, 16,
+                           mcfg.vocab_size)
+        _, stats = step_fn(st, batch, jax.random.key(1))
+        per = {k: float(v) for k, v in stats.items()
+               if k.startswith("grad_norms/")}
+        n_leaves = len(jax.tree.leaves(st.params))
+        assert len(per) == n_leaves
+        # sum of squares of per-param norms == global norm squared
+        total = np.sqrt(sum(v ** 2 for v in per.values()))
+        np.testing.assert_allclose(total, float(stats["grad_norm"]),
+                                   rtol=1e-5)
+
+
 class TestShardedEquivalence:
     """The pjit-sharded step must produce the same numbers as the
     single-device step — this is the test that the implicit collectives
