@@ -131,6 +131,11 @@ class Config:
     # partitionable under GSPMD; 'threefry2x32' is jax's (slow) default —
     # per-fwd dropout mask generation alone costs ~30ms at B=128,L=256
     prng_impl: str = "rbg"
+    # jax.profiler trace of steps [profile_start_step, +profile_steps)
+    # written here; empty = profiling off (SURVEY.md §5.1)
+    profile_dir: str = ""
+    profile_start_step: int = 10
+    profile_steps: int = 3
 
     # ------------------------------------------------------------------
     def __post_init__(self):

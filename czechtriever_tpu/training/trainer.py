@@ -27,6 +27,7 @@ from czechtriever_tpu.parallel import mesh as meshlib
 from czechtriever_tpu.training import optim, state as statelib, steps
 from czechtriever_tpu.utils import checkpoint as ckpt
 from czechtriever_tpu.utils.logging_utils import MetricsLogger
+from czechtriever_tpu.utils.profiling import StepProfiler
 from czechtriever_tpu.utils.stats import WeightedAvgStats
 
 logger = logging.getLogger(__name__)
@@ -130,6 +131,8 @@ class Trainer:
         # initial eval before step 1, matching reference train.py:218-244
         if step == 0 and self.eval_hook is not None:
             self.eval_hook(self, step)
+        profiler = StepProfiler(cfg.profile_dir, cfg.profile_start_step,
+                                cfg.profile_steps)
         while step < cfg.total_steps:
             if on_epoch_start is not None:
                 on_epoch_start()
@@ -140,10 +143,12 @@ class Trainer:
                 micro_acc.append(mb)
                 if len(micro_acc) < self.update_freq:
                     continue
+                profiler.maybe_start(step)
                 stats = self.train_step(micro_acc)
                 micro_acc = []
                 step += 1
                 steps_this_epoch += 1
+                profiler.maybe_stop(step)
                 run_stats.update_means(
                     {k: float(v) for k, v in stats.items()},
                     self.global_micro)
@@ -180,3 +185,4 @@ class Trainer:
                     "microbatches. Shrink target_batch_size or grow the "
                     "training data.")
             epoch += 1
+        profiler.close()

@@ -238,6 +238,30 @@ class TestThroughputHarness:
         assert res["index_memory_mb"] == pytest.approx(500 * 16 * 4 / 1e6)
 
 
+class TestProfiling:
+    def test_step_profiler_writes_trace(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from czechtriever_tpu.utils.profiling import StepProfiler
+        d = str(tmp_path / "prof")
+        prof = StepProfiler(d, start_step=1, num_steps=1)
+        f = jax.jit(lambda x: x * 2)
+        for step in range(3):
+            prof.maybe_start(step)
+            f(jnp.ones((4,))).block_until_ready()
+            prof.maybe_stop(step + 1)
+        prof.close()
+        found = [fn for _, _, fs in os.walk(d) for fn in fs]
+        assert any(fn.endswith((".xplane.pb", ".trace.json.gz"))
+                   for fn in found), found
+
+    def test_trace_if_noop_when_disabled(self, tmp_path):
+        from czechtriever_tpu.utils.profiling import trace_if
+        with trace_if(str(tmp_path / "x"), enabled=False):
+            pass
+        assert not os.path.exists(str(tmp_path / "x"))
+
+
 class TestDemo:
     def test_repl_one_round(self, tmp_path, monkeypatch, capsys):
         from czechtriever_tpu.cli import demo
