@@ -65,8 +65,18 @@ def save_line_index(offsets, path: str) -> None:
 
 
 def load_line_index(path: str):
+    """Load a pickled line index. Accepts our plain offsets list, a
+    (offsets, cumsums) tuple, or the reference's list of
+    {offset, tokens_before_this_line} dicts (get_line_offsets.py /
+    cli.data_tools line_offsets) — returns (offsets, cumsums-or-None)."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        data = pickle.load(f)
+    if isinstance(data, tuple) and len(data) == 2:
+        return data
+    if data and isinstance(data[0], dict):
+        return ([d["offset"] for d in data],
+                [d["tokens_before_this_line"] for d in data])
+    return data, None
 
 
 class LazyJsonlDataset:

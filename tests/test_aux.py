@@ -56,7 +56,18 @@ class TestLineIndex:
             d = json.loads(f.readline())
         assert d["text"].startswith("w3")
         save_line_index(offsets, str(tmp_path / "off.pkl"))
-        assert load_line_index(str(tmp_path / "off.pkl")) == offsets
+        off, cs = load_line_index(str(tmp_path / "off.pkl"))
+        assert off == offsets and cs is None
+
+    def test_load_reference_dict_format(self, tmp_path):
+        import pickle
+        recs = [{"offset": 0, "tokens_before_this_line": 0},
+                {"offset": 40, "tokens_before_this_line": 5}]
+        p = str(tmp_path / "ref.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(recs, f)
+        off, cs = load_line_index(p)
+        assert off == [0, 40] and cs == [0, 5]
 
     def test_cumsums_count_tokens(self, jsonl_file, tokenizer):
         _, cumsums = build_line_index(jsonl_file, tokenizer)
