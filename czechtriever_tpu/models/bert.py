@@ -58,6 +58,10 @@ class BertConfig:
     # "naive": XLA scores->softmax->dropout->matmul;
     # "auto": flash on the TPU backend, naive elsewhere
     attention_impl: str = "auto"
+    # "bert": position ids = arange(L); "roberta": mask-cumsum offset by
+    # pad_token_id (XLM-R, the reference's XLMRetriever encoder,
+    # src/contriever.py:58-100)
+    position_style: str = "bert"
 
     @property
     def head_dim(self) -> int:
@@ -78,7 +82,10 @@ class BertConfig:
     @classmethod
     def from_hf_dict(cls, d: dict) -> "BertConfig":
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kw = {k: v for k, v in d.items() if k in known}
+        if "roberta" in str(d.get("model_type", "")):
+            kw.setdefault("position_style", "roberta")
+        return cls(**kw)
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +253,14 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
     emb = params["embeddings"]
 
     x = emb["word"][input_ids]
-    x = x + emb["position"][jnp.arange(L)][None, :, :]
+    if cfg.position_style == "roberta":
+        # XLM-R: position ids = pad_idx + cumsum(mask) on real tokens
+        # (transformers create_position_ids_from_input_ids)
+        pos_ids = (jnp.cumsum(attention_mask, axis=1) * attention_mask
+                   + cfg.pad_token_id)
+        x = x + emb["position"][pos_ids]
+    else:
+        x = x + emb["position"][jnp.arange(L)][None, :, :]
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
     x = x + emb["token_type"][token_type_ids]

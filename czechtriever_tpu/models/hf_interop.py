@@ -76,7 +76,8 @@ def params_from_state_dict(state_dict: Dict[str, Any],
                            cfg: BertConfig) -> Params:
     """HF BertModel state dict -> stacked param pytree. Ignores the pooler
     (the reference uses add_pooling_layer=False, src/contriever.py:13)."""
-    sd = {k.removeprefix("bert."): _to_numpy(v) for k, v in state_dict.items()}
+    sd = {k.removeprefix("bert.").removeprefix("roberta."): _to_numpy(v)
+          for k, v in state_dict.items()}
     L = cfg.num_hidden_layers
 
     params: Dict[str, Any] = {"embeddings": {"ln": {}}, "layers": {}}

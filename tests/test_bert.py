@@ -141,3 +141,65 @@ class TestForwardProperties:
         out = bert.forward(params, cfg, ids, mask)
         assert out.shape == (2, 9, cfg.hidden_size)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestXLMRobertaParity:
+    """The reference's XLMRetriever wraps XLMRobertaModel
+    (src/contriever.py:58-100); our encoder covers it with
+    position_style='roberta' (mask-cumsum position ids offset by the pad
+    id) and the shared layer stack."""
+
+    @pytest.fixture(scope="class")
+    def xlmr_pair(self):
+        from transformers import XLMRobertaConfig, XLMRobertaModel
+
+        hf_cfg = XLMRobertaConfig(
+            vocab_size=509, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=130, type_vocab_size=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            pad_token_id=1,
+        )
+        torch.manual_seed(1)
+        hf_model = XLMRobertaModel(hf_cfg, add_pooling_layer=False).eval()
+        cfg = bert.BertConfig.from_hf_dict(hf_cfg.to_dict())
+        cfg = bert.BertConfig(**{**cfg.__dict__, "dtype": "float32"})
+        params = hf_interop.params_from_state_dict(hf_model.state_dict(),
+                                                   cfg)
+        return hf_model, params, cfg
+
+    def test_config_detects_roberta(self, xlmr_pair):
+        _, _, cfg = xlmr_pair
+        assert cfg.position_style == "roberta"
+        assert cfg.pad_token_id == 1
+
+    def test_last_hidden_matches_hf(self, xlmr_pair):
+        hf_model, params, cfg = xlmr_pair
+        ids, mask = _random_batch(np.random.default_rng(5), cfg.vocab_size)
+        ids = np.where(mask.astype(bool), ids, cfg.pad_token_id)
+        with torch.no_grad():
+            ref = hf_model(
+                input_ids=torch.tensor(ids.astype(np.int64)),
+                attention_mask=torch.tensor(mask.astype(np.int64)))
+            ref = ref.last_hidden_state.numpy()
+        out = np.asarray(bert.forward(params, cfg, jnp.array(ids),
+                                      jnp.array(mask)))
+        m = mask.astype(bool)
+        np.testing.assert_allclose(out[m], ref[m], rtol=1e-4, atol=1e-4)
+
+    def test_mean_pool_encode_matches(self, xlmr_pair):
+        hf_model, params, cfg = xlmr_pair
+        ids, mask = _random_batch(np.random.default_rng(6), cfg.vocab_size)
+        ids = np.where(mask.astype(bool), ids, cfg.pad_token_id)
+        with torch.no_grad():
+            h = hf_model(
+                input_ids=torch.tensor(ids.astype(np.int64)),
+                attention_mask=torch.tensor(mask.astype(np.int64))
+            ).last_hidden_state
+            tm = torch.tensor(mask)
+            h = h.masked_fill(~tm[..., None].bool(), 0.0)
+            ref = (h.sum(dim=1) / tm.sum(dim=1)[..., None]).numpy()
+        out = np.asarray(contriever.encode(
+            params, cfg, jnp.array(ids), jnp.array(mask),
+            pooling_mode="average"))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
