@@ -64,7 +64,7 @@ def naive_attention(q, k, v, bias, dropout_rate: float = 0.0,
 
 def _keep_mask(seed, rate: float, shape):
     """Deterministic dropout keep-mask from the on-core PRNG. Seeded per
-    (batch, head) program so fwd and bwd regenerate the same bits."""
+    (batch, head) so fwd and bwd regenerate the same bits."""
     pltpu.prng_seed(seed)
     # prng_random_bits yields *signed* int32 words: bitcast before the
     # unsigned threshold compare (int32 >= uint32(2^31) would promote to
@@ -76,63 +76,69 @@ def _keep_mask(seed, rate: float, shape):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref,
                 l_ref, *, rate: float, deterministic: bool):
-    q = q_ref[0, 0].astype(jnp.float32)          # [L, D]
-    k = k_ref[0, 0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    s = s * (1.0 / math.sqrt(q.shape[-1])) + bias_ref[0, 0][None, :]
-    m = jnp.max(s, axis=-1)                       # [L]
-    p = jnp.exp(s - m[:, None])
-    l = jnp.sum(p, axis=-1)                       # [L]
-    p = p / l[:, None]
-    if not deterministic and rate > 0.0:
-        b, h = pl.program_id(0), pl.program_id(1)
-        keep = _keep_mask(seed_ref[0] + b * pl.num_programs(1) + h, rate,
-                          p.shape)
-        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-    o_ref[0, 0] = jnp.dot(p.astype(v_ref.dtype), v_ref[0, 0],
-                          preferred_element_type=jnp.float32
-                          ).astype(o_ref.dtype)
-    m_ref[0, 0, 0] = m
-    l_ref[0, 0, 0] = l
+    # one program per batch element; the head loop is unrolled inside it
+    # (one program per (b,h) was 5x slower: per-program dispatch overhead
+    # dominated the tiny [L,L]x[L,D] matmuls)
+    H = q_ref.shape[1]
+    b = pl.program_id(0)
+    bias_row = bias_ref[0, 0][None, :]
+    for h in range(H):
+        q = q_ref[0, h].astype(jnp.float32)       # [L, D]
+        k = k_ref[0, h].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(q.shape[-1])) + bias_row
+        m = jnp.max(s, axis=-1)                   # [L]
+        p = jnp.exp(s - m[:, None])
+        l = jnp.sum(p, axis=-1)                   # [L]
+        p = p / l[:, None]
+        if not deterministic and rate > 0.0:
+            keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        o_ref[0, h] = jnp.dot(p.astype(v_ref.dtype), v_ref[0, h],
+                              preferred_element_type=jnp.float32
+                              ).astype(o_ref.dtype)
+        m_ref[0, h] = m
+        l_ref[0, h] = l
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, m_ref, l_ref,
                 do_ref, dq_ref, dk_ref, dv_ref, *, rate: float,
                 deterministic: bool):
     scale = 1.0 / math.sqrt(q_ref.shape[-1])
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    s = s * scale + bias_ref[0, 0][None, :]
-    p = (jnp.exp(s - m_ref[0, 0, 0][:, None])
-         / l_ref[0, 0, 0][:, None])  # [L,L]
+    H = q_ref.shape[1]
+    b = pl.program_id(0)
+    bias_row = bias_ref[0, 0][None, :]
+    for h in range(H):
+        q = q_ref[0, h].astype(jnp.float32)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = s * scale + bias_row
+        p = jnp.exp(s - m_ref[0, h][:, None]) / l_ref[0, h][:, None]
 
-    if not deterministic and rate > 0.0:
-        b, h = pl.program_id(0), pl.program_id(1)
-        keep = _keep_mask(seed_ref[0] + b * pl.num_programs(1) + h, rate,
-                          p.shape)
-        inv = 1.0 / (1.0 - rate)
-        pd = jnp.where(keep, p * inv, 0.0)       # dropped probs (fwd value)
-        dv_ref[0, 0] = jnp.dot(pd.T.astype(do_ref.dtype), do,
-                               preferred_element_type=jnp.float32
-                               ).astype(dv_ref.dtype)
-        dpd = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        dp = jnp.where(keep, dpd * inv, 0.0)
-    else:
-        dv_ref[0, 0] = jnp.dot(p.T.astype(do_ref.dtype), do,
-                               preferred_element_type=jnp.float32
-                               ).astype(dv_ref.dtype)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if not deterministic and rate > 0.0:
+            keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)   # dropped probs (fwd value)
+            dv_ref[0, h] = jnp.dot(pd.T.astype(do_ref.dtype), do,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dv_ref.dtype)
+            dpd = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            dp = jnp.where(keep, dpd * inv, 0.0)
+        else:
+            dv_ref[0, h] = jnp.dot(p.T.astype(do_ref.dtype), do,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dv_ref.dtype)
+            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
 
-    # softmax vjp: dS = P * (dP - sum(dP * P, axis=-1))
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - row)
-    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                    * scale).astype(dq_ref.dtype)
-    dk_ref[0, 0] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
-                    * scale).astype(dk_ref.dtype)
+        # softmax vjp: dS = P * (dP - sum(dP * P, axis=-1))
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - row)
+        dq_ref[0, h] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                        * scale).astype(dq_ref.dtype)
+        dk_ref[0, h] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+                        * scale).astype(dk_ref.dtype)
 
 
 def _pad_l(x, L_pad, axis):
@@ -170,23 +176,23 @@ def _flash_call(q, k, v, bias, seed, rate, deterministic, interpret=False):
                              deterministic=deterministic)
     o, m, l = pl.pallas_call(
         kern,
-        grid=(B, H),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, L_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, L_pad), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, L_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, 1, L_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, 1, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L_pad), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, biasp)
@@ -221,21 +227,21 @@ def _flash_bwd_vjp(rate, deterministic, res, g):
                              deterministic=deterministic)
     dq, dk, dv = pl.pallas_call(
         kern,
-        grid=(B, H),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad), lambda b, h: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1, L_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, L_pad), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, L_pad, D), q.dtype),
