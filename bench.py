@@ -32,7 +32,7 @@ V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
 
 
 def model_flops_per_pair(mcfg, seq: int, queue_size: int,
-                         remat: bool) -> float:
+                         remat) -> float:
     """FLOPs per contrastive pair for the MFU estimate: q fwd+bwd
     (x3, +1 recompute under remat) + k fwd (x1) over the non-embedding
     matmuls and attention, plus the queue logits matmul fwd+bwd."""
@@ -41,12 +41,14 @@ def model_flops_per_pair(mcfg, seq: int, queue_size: int,
     per_layer_mm = 2 * (4 * D * D + 2 * D * F)       # qkvo + ffn, fwd
     attn_mm = 2 * 2 * seq * D                        # QK^T + PV, fwd/token
     fwd_per_token = L * (per_layer_mm + attn_mm)
-    passes = (4 if remat else 3) + 1                  # q fwd+bwd(+remat), k
+    # full remat recomputes the fwd matmuls in bwd; 'dots' recomputes
+    # only elementwise, so its matmul FLOPs match no-remat
+    passes = (4 if remat in (True, "full") else 3) + 1
     queue_mm = 3 * 2 * mcfg.hidden_size * queue_size  # l_neg fwd + dq
     return passes * fwd_per_token * seq + queue_mm
 
 
-def build(batch: int, accum: int, seq: int, queue_size: int, remat: bool,
+def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           attention_impl: str = "auto", hidden_act: str = "gelu_tanh"):
     import jax
     import jax.numpy as jnp
@@ -63,10 +65,12 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat: bool,
                            max_position_embeddings=512, dtype="bfloat16",
                            attention_impl=attention_impl,
                            hidden_act=hidden_act)
+    remat_arg = {"none": False, "full": True, "dots": "dots"}.get(
+        remat, remat)
     cfg = Config(queue_size=queue_size, temperature=0.05, momentum=0.9995,
                  projection_size=768, lr=1e-5, warmup_steps=20000,
                  total_steps=500000, scheduler="linear",
-                 clip_gradients=False, remat=remat)
+                 clip_gradients=False, remat=remat_arg)
     mesh = meshlib.make_mesh()
     tx = optim.make_optimizer(cfg)
     st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
@@ -83,7 +87,7 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat: bool,
 
 
 def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
-        remat: bool, attention_impl: str = "auto",
+        remat, attention_impl: str = "auto",
         hidden_act: str = "gelu_tanh"):
     import jax
     step_fn, st, b, cfg = build(batch, accum, seq, queue_size, remat,
@@ -113,7 +117,10 @@ def main():
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--queue_size", type=int, default=131072)
     p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--no-remat", dest="remat", action="store_false", default=True)
+    p.add_argument("--remat", default="dots",
+                   choices=("none", "full", "dots"))
+    p.add_argument("--no-remat", dest="remat", action="store_const",
+                   const="none")
     p.add_argument("--attention", default="auto",
                    choices=("auto", "flash", "naive"))
     p.add_argument("--gelu", default="gelu_tanh",

@@ -125,7 +125,10 @@ class Config:
     # --- TPU-specific knobs (new; no reference equivalent) ---
     dtype: str = "bfloat16"  # compute dtype on the MXU
     param_dtype: str = "float32"
-    remat: bool = False  # jax.checkpoint over encoder layers
+    # rematerialization over encoder layers: False, True (full
+    # jax.checkpoint), or "dots" (save matmul outputs, recompute
+    # elementwise only — the default sweet spot on v5e)
+    remat: object = False
     donate_state: bool = True
     # dropout/init PRNG: 'rbg' drives the TPU hardware RNG and is
     # partitionable under GSPMD; 'threefry2x32' is jax's (slow) default —
@@ -191,6 +194,12 @@ class Config:
             name = "--" + f.name
             if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
                 p.add_argument(name, nargs="+", default=f.default_factory())
+                continue
+            if f.name == "remat":  # bool-or-"dots" tri-state
+                def _remat(v):
+                    return {"false": False, "none": False, "true": True,
+                            "full": True}.get(v.lower(), v)
+                p.add_argument(name, type=_remat, default=f.default)
                 continue
             if f.type in ("bool", bool):
                 # BooleanOptionalAction adds --<flag>/--no-<flag>, so

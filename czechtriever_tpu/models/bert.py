@@ -297,7 +297,13 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
         h = _encoder_layer(cfg, h, bias, lp, rngs, deterministic)
         return h, None
 
-    if remat:
+    if remat == "dots":
+        # selective remat: keep matmul outputs, recompute elementwise
+        # (LN, gelu, dropout, softmax) in the backward — near-no-remat
+        # FLOPs at a fraction of the saved-activation memory
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_saveable)
+    elif remat:
         body = jax.checkpoint(body)
 
     layer_idx = jnp.arange(cfg.num_hidden_layers)

@@ -203,3 +203,26 @@ class TestXLMRobertaParity:
             params, cfg, jnp.array(ids), jnp.array(mask),
             pooling_mode="average"))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestRematPolicies:
+    def test_grads_match_across_remat_modes(self):
+        """remat=False / True / 'dots' change memory, never numbers."""
+        cfg = bert.BertConfig.tiny()
+        params = bert.init_params(jax.random.key(0), cfg)
+        ids = jnp.asarray(np.random.default_rng(0).integers(
+            5, cfg.vocab_size, (4, 12)), jnp.int32)
+        mask = jnp.ones_like(ids)
+
+        def loss(p, remat):
+            return bert.forward(p, cfg, ids, mask, remat=remat).sum()
+
+        g_none = jax.grad(lambda p: loss(p, False))(params)
+        g_full = jax.grad(lambda p: loss(p, True))(params)
+        g_dots = jax.grad(lambda p: loss(p, "dots"))(params)
+        for a, b, c in zip(jax.tree.leaves(g_none), jax.tree.leaves(g_full),
+                           jax.tree.leaves(g_dots)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-5, atol=1e-6)
