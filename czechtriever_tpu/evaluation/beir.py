@@ -74,9 +74,16 @@ class DenseEncoder:
                  max_length: int = 512, add_special_tokens: bool = True,
                  norm_query: bool = False, norm_doc: bool = False,
                  lower_case: bool = False, normalize_text: bool = False,
-                 pooling: str = "average", mesh=None, bucket: int = 64):
+                 pooling: str = "average", mesh=None, bucket: int = 64,
+                 doc_params: bert.Params = None,
+                 doc_mcfg: bert.BertConfig = None):
         self.params = params
         self.mcfg = mcfg
+        # separate document encoder (the distill eval path,
+        # beir_utils.py:251-370 evaluate_model_distill takes
+        # query_encoder + doc_encoder; None = shared encoder)
+        self.doc_params = doc_params
+        self.doc_mcfg = doc_mcfg if doc_mcfg is not None else mcfg
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.add_special_tokens = add_special_tokens
@@ -90,8 +97,8 @@ class DenseEncoder:
         if mesh is not None:
             self.params = meshlib.replicate(mesh, params)
 
-    def _encode_texts(self, texts, batch_size: int, normalize: bool
-                      ) -> np.ndarray:
+    def _encode_texts(self, texts, batch_size: int, normalize: bool,
+                      use_doc_encoder: bool = False) -> np.ndarray:
         if self.normalize_text:
             texts = [normalize_fn(t) for t in texts]
         if self.lower_case:
@@ -120,7 +127,11 @@ class DenseEncoder:
             if self.mesh is not None:
                 jids = jax.device_put(jids, meshlib.batch_sharding(self.mesh))
                 jmask = jax.device_put(jmask, meshlib.batch_sharding(self.mesh))
-            emb = encode_fn(self.params, self.mcfg, jids, jmask,
+            params = (self.doc_params if use_doc_encoder
+                      and self.doc_params is not None else self.params)
+            mcfg = (self.doc_mcfg if use_doc_encoder
+                    and self.doc_params is not None else self.mcfg)
+            emb = encode_fn(params, mcfg, jids, jmask,
                             pooling_mode=self.pooling, normalize=normalize)
             out.append(np.asarray(emb)[:n_real])
         return np.concatenate(out, axis=0)
@@ -133,7 +144,8 @@ class DenseEncoder:
         (beir_utils.py:100-103)."""
         texts = [(c["title"] + " " + c["text"]) if c.get("title") else c["text"]
                  for c in corpus]
-        return self._encode_texts(texts, batch_size, self.norm_doc)
+        return self._encode_texts(texts, batch_size, self.norm_doc,
+                                  use_doc_encoder=True)
 
 
 def retrieve(encoder: DenseEncoder, corpus: Dict, queries: Dict,
@@ -162,16 +174,21 @@ def evaluate_model(params: bert.Params, mcfg: bert.BertConfig, tokenizer,
                    lower_case: bool = False, normalize_text: bool = False,
                    pooling: str = "average", mesh=None, is_main: bool = True,
                    k_values=M.DEFAULT_K_VALUES,
-                   save_results_path: Optional[str] = None
+                   save_results_path: Optional[str] = None,
+                   doc_params: bert.Params = None,
+                   doc_mcfg: bert.BertConfig = None
                    ) -> Dict[str, float]:
     """Reference evaluate_model parity (beir_utils.py:136-247):
-    returns {metric: value*100}."""
+    returns {metric: value*100}. Passing doc_params gives the
+    separate-document-encoder form (evaluate_model_distill,
+    beir_utils.py:251-370)."""
     data_path = os.path.join(beir_dir, dataset)
     corpus, queries, qrels = load_beir_dataset(data_path, split)
     encoder = DenseEncoder(params, mcfg, tokenizer, norm_query=norm_query,
                            norm_doc=norm_doc, lower_case=lower_case,
                            normalize_text=normalize_text, pooling=pooling,
-                           mesh=mesh)
+                           mesh=mesh, doc_params=doc_params,
+                           doc_mcfg=doc_mcfg)
     results = retrieve(encoder, corpus, queries, top_k=max(k_values),
                        batch_size=batch_size, mesh=mesh)
     if not is_main:

@@ -46,6 +46,9 @@ class TestInterpret:
 
 
 @pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled Pallas kernels need the real chip "
+                           "(CZT_TESTS_ON_TPU=1 pytest -m tpu)")
 class TestOnChip:
     def test_forward_matches_naive_f32(self):
         rng = np.random.default_rng(0)

@@ -143,3 +143,58 @@ class TestFlatIndex:
         idx = FlatIndex(8)
         with pytest.raises(ValueError):
             idx.search_knn(np.zeros((1, 8), np.float32), 3)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled Pallas kernels need the real chip")
+class TestOnChipTopK:
+    """Chip-gated exactness of the compiled fused top-k kernel (the
+    round-1 on-chip claim lived only in a commit message) plus a
+    Pallas-vs-blocked timing comparison recorded in the test log."""
+
+    def test_pallas_compiled_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(16, 768)).astype(np.float32)
+        c = rng.normal(size=(100_000, 768)).astype(np.float32)
+        ref_v, ref_i = exact_ref(q, c, 100)
+        v, i = topk.pallas_topk(jnp.array(q), jnp.array(c), 100,
+                                block_size=1024)
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+    def test_flat_index_on_chip(self):
+        rng = np.random.default_rng(1)
+        emb = rng.normal(size=(50_000, 256)).astype(np.float32)
+        index = FlatIndex(256)
+        index.index_data([str(j) for j in range(len(emb))], emb)
+        qv = emb[:8] + 0.01 * rng.normal(size=(8, 256)).astype(np.float32)
+        got = index.search_knn(qv, 10)
+        ref = np.argsort(-(qv @ emb.T), axis=1)[:, :10]
+        for r, (ids, scores) in zip(ref, got):
+            assert ids[0] == str(r[0])
+            assert set(ids) == {str(x) for x in r}
+
+    def test_pallas_vs_blocked_timing(self):
+        import time
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.normal(size=(32, 768)), jnp.float32)
+        c = jnp.asarray(rng.normal(size=(200_000, 768)), jnp.float32)
+
+        def bench(engine):
+            fn = jax.jit(lambda q, c: (topk.pallas_topk if engine == "pallas"
+                                       else topk.blocked_topk)(q, c, 100))
+            v, i = fn(q, c)
+            float(v[0, 0])
+            t0 = time.perf_counter()
+            for _ in range(5):
+                v, i = fn(q, c)
+            float(v[0, 0])
+            return (time.perf_counter() - t0) / 5
+
+        tp, tb = bench("pallas"), bench("blocked")
+        print(f"\npallas {tp*1000:.2f} ms vs blocked {tb*1000:.2f} ms "
+              f"(32 q x 200k x 768, k=100)")
+        # both must finish; no winner asserted (XLA fuses well here)
+        assert tp > 0 and tb > 0
