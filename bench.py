@@ -49,7 +49,8 @@ def model_flops_per_pair(mcfg, seq: int, queue_size: int,
 
 
 def build(batch: int, accum: int, seq: int, queue_size: int, remat,
-          attention_impl: str = "auto", hidden_act: str = "gelu_tanh"):
+          attention_impl: str = "auto", hidden_act: str = "gelu_tanh",
+          unroll: int = 1):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config
@@ -64,7 +65,7 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
                            intermediate_size=3072,
                            max_position_embeddings=512, dtype="bfloat16",
                            attention_impl=attention_impl,
-                           hidden_act=hidden_act)
+                           hidden_act=hidden_act, scan_unroll=unroll)
     remat_arg = {"none": False, "full": True, "dots": "dots"}.get(
         remat, remat)
     cfg = Config(queue_size=queue_size, temperature=0.05, momentum=0.9995,
@@ -88,10 +89,10 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
 
 def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         remat, attention_impl: str = "auto",
-        hidden_act: str = "gelu_tanh"):
+        hidden_act: str = "gelu_tanh", unroll: int = 1):
     import jax
     step_fn, st, b, cfg = build(batch, accum, seq, queue_size, remat,
-                                attention_impl, hidden_act)
+                                attention_impl, hidden_act, unroll)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
@@ -112,8 +113,8 @@ def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--accum", type=int, default=2)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--accum", type=int, default=4)
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--queue_size", type=int, default=131072)
     p.add_argument("--steps", type=int, default=10)
@@ -125,6 +126,7 @@ def main():
                    choices=("auto", "flash", "naive"))
     p.add_argument("--gelu", default="gelu_tanh",
                    choices=("gelu", "gelu_tanh"))
+    p.add_argument("--unroll", type=int, default=1)
     args = p.parse_args()
 
     batch = args.batch
@@ -132,7 +134,7 @@ def main():
         try:
             sps, spstep, loss = run(batch, args.accum, args.seq,
                                     args.queue_size, args.steps, args.remat,
-                                    args.attention, args.gelu)
+                                    args.attention, args.gelu, args.unroll)
             break
         except Exception as e:
             oom = ("RESOURCE_EXHAUSTED" in str(e)

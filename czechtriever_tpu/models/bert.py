@@ -66,6 +66,10 @@ class BertConfig:
     # approximation — on v5e the erf costs ~11 ms per BERT-base forward
     # at B=128,L=256 while the tanh form fuses for free
     hidden_act: str = "gelu"
+    # lax.scan unroll factor over layers (1 = fully rolled). Unrolling
+    # exposes static per-layer indices so XLA can keep the stacked
+    # weight-gradient updates in place instead of copying the buffer
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -307,7 +311,8 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
         body = jax.checkpoint(body)
 
     layer_idx = jnp.arange(cfg.num_hidden_layers)
-    x, _ = jax.lax.scan(body, x, (params["layers"], layer_idx))
+    x, _ = jax.lax.scan(body, x, (params["layers"], layer_idx),
+                        unroll=cfg.scan_unroll)
     return x
 
 
