@@ -113,8 +113,8 @@ def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--accum", type=int, default=4)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--accum", type=int, default=8)
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--queue_size", type=int, default=131072)
     p.add_argument("--steps", type=int, default=10)
