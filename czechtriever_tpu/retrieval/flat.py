@@ -87,6 +87,7 @@ class FlatIndex:
         self.index_id_to_db_id: List = []
         self._chunks: List[np.ndarray] = []
         self._corpus = None      # device array [N_pad, D]
+        self._id_arr = None      # str id lookup table, built lazily
         self._n = 0
 
     # -- build -------------------------------------------------------------
@@ -96,6 +97,7 @@ class FlatIndex:
         self.index_id_to_db_id.extend(ids)
         self._chunks.append(np.asarray(embeddings, dtype=np.float32))
         self._corpus = None  # invalidate device copy
+        self._id_arr = None
 
     @property
     def ntotal(self) -> int:
@@ -144,10 +146,12 @@ class FlatIndex:
                                    k, self.engine, self.mesh)
             v = np.asarray(v)[:n_real]
             i = np.asarray(i)[:n_real]
-            for row_i, row_v in zip(i, v):
-                result.append((
-                    [str(self.index_id_to_db_id[j]) for j in row_i],
-                    [float(x) for x in row_v]))
+            if self._id_arr is None:
+                self._id_arr = np.asarray(
+                    [str(x) for x in self.index_id_to_db_id], dtype=object)
+            ids_block = self._id_arr[i]  # vectorized id lookup
+            for row_i, row_v in zip(ids_block, v):
+                result.append((list(row_i), row_v.tolist()))
         return result
 
     # -- persistence (src/index.py:48-68) -----------------------------------

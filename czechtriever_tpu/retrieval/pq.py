@@ -166,6 +166,8 @@ class PQIndex:
         nq = len(queries)
         k = min(top_docs, self.ntotal)
         out: List[Tuple[List[str], List[float]]] = []
+        id_arr = np.asarray([str(x) for x in self.index_id_to_db_id],
+                            dtype=object)
         for s in range(0, nq, bs):
             q = queries[s:s + bs]
             n_real = len(q)
@@ -174,10 +176,9 @@ class PQIndex:
                     [q, np.zeros((bs - n_real, q.shape[1]), np.float32)])
             v, i = adc_search(jnp.asarray(q), codes, self.codebooks, k,
                               n_valid=self.ntotal)
-            for row_i, row_v in zip(np.asarray(i)[:n_real],
-                                    np.asarray(v)[:n_real]):
-                out.append(([str(self.index_id_to_db_id[j]) for j in row_i],
-                            [float(x) for x in row_v]))
+            ids_block = id_arr[np.asarray(i)[:n_real]]
+            for row_ids, row_v in zip(ids_block, np.asarray(v)[:n_real]):
+                out.append((list(row_ids), row_v.tolist()))
         return out
 
     def reconstruct(self, idx: np.ndarray) -> np.ndarray:

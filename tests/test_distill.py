@@ -215,3 +215,42 @@ class TestDistillCLI:
         with open(os.path.join(out, "metrics.jsonl")) as f:
             recs = [json.loads(line) for line in f]
         assert any("train/distill_loss" in r for r in recs)
+
+
+class TestTeacherRetokenizer:
+    def test_adds_teacher_tokens_with_prompt(self, tmp_path):
+        from czechtriever_tpu.data.datasets import (DISTILL_TASK,
+                                                    get_detailed_instruct,
+                                                    make_teacher_retokenizer)
+        from czechtriever_tpu.data.tokenizer import WordPieceTokenizer
+        svocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "hello",
+                  "world", "query"]
+        tvocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "hello",
+                  "world", "query", "instruct", "web", "search", "given",
+                  "retrieve", "relevant", "passages", "that", "answer",
+                  "the", "a", ",", ".", "<", ">"]
+        (tmp_path / "sv.txt").write_text("\n".join(svocab) + "\n")
+        (tmp_path / "tv.txt").write_text("\n".join(tvocab) + "\n")
+        st = WordPieceTokenizer.from_vocab_file(str(tmp_path / "sv.txt"),
+                                                do_lower_case=True)
+        tt = WordPieceTokenizer.from_vocab_file(str(tmp_path / "tv.txt"),
+                                                do_lower_case=True)
+        import numpy as np
+        ids = np.asarray([st.encode("hello world"),
+                          st.encode("world query")], np.int32)
+        mask = np.ones_like(ids)
+        batch = {"q_tokens": ids, "q_mask": mask,
+                 "k_tokens": ids, "k_mask": mask}
+        retok = make_teacher_retokenizer(st, tt, max_length=32)
+        out = retok(batch)
+        assert out["t_tokens"].shape == (2, 32)
+        assert out["t_mask"].shape == (2, 32)
+        # prompt parity with the reference template (distill.py:55-56)
+        assert get_detailed_instruct(DISTILL_TASK, "x").startswith(
+            "<instruct>")
+        decoded = tt.decode(list(out["t_tokens"][0]),
+                            skip_special_tokens=True)
+        assert "hello world" in decoded
+        assert "retrieve relevant passages" in decoded
+        # original keys untouched
+        np.testing.assert_array_equal(out["q_tokens"], ids)
