@@ -35,6 +35,7 @@ from czechtriever_tpu.data.passages import load_passages
 from czechtriever_tpu.evaluation import qa
 from czechtriever_tpu.evaluation.beir import DenseEncoder
 from czechtriever_tpu.retrieval.flat import FlatIndex
+from czechtriever_tpu.retrieval.ivf import IVFPQIndex
 from czechtriever_tpu.retrieval.pq import PQIndex
 from czechtriever_tpu.utils.logging_utils import init_logger
 
@@ -62,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     # PQ compression (src/index.py:17-21): 0 = exact flat inner product
     p.add_argument("--n_subquantizers", type=int, default=0)
     p.add_argument("--n_bits", type=int, default=8)
+    # inverted-file variant (beyond the reference's flat PQ): probe only
+    # the nprobe closest of nlist coarse clusters
+    p.add_argument("--index_type", choices=("auto", "flat", "pq", "ivfpq"),
+                   default="auto")
+    p.add_argument("--nlist", type=int, default=1024)
+    p.add_argument("--nprobe", type=int, default=32)
     p.add_argument("--save_or_load_index", action="store_true",
                    help="serialize the index beside the embeddings, or "
                         "load it if already present")
@@ -143,8 +150,18 @@ def main(argv=None) -> None:
                            max_length=args.question_maxlength,
                            pooling=args.pooling)
 
-    if args.n_subquantizers > 0:
-        index = PQIndex(mcfg.hidden_size, args.n_subquantizers, args.n_bits)
+    itype = args.index_type
+    if itype == "auto":
+        itype = "pq" if args.n_subquantizers > 0 else "flat"
+    if itype == "ivfpq":
+        index = IVFPQIndex(mcfg.hidden_size,
+                           args.n_subquantizers or mcfg.hidden_size // 8,
+                           args.n_bits, nlist=args.nlist,
+                           nprobe=args.nprobe)
+    elif itype == "pq":
+        index = PQIndex(mcfg.hidden_size,
+                        args.n_subquantizers or mcfg.hidden_size // 8,
+                        args.n_bits)
     else:
         index = FlatIndex(mcfg.hidden_size)
 

@@ -107,6 +107,27 @@ class TestRetrievePipeline:
         # recompute R@k from the saved file (evaluate_retrieved_passages)
         er.main(["--data", out_file, "--validation_workers", "2"])
 
+    def test_ivfpq_index_path(self, tmp_path, model_dir, corpus_tsv,
+                              query_file):
+        from czechtriever_tpu.cli import generate_embeddings as ge
+        from czechtriever_tpu.cli import retrieve as rt
+        emb_dir = str(tmp_path / "emb")
+        ge.main(["--passages", corpus_tsv, "--output_dir", emb_dir,
+                 "--model_name_or_path", model_dir, "--no_fp16",
+                 "--per_gpu_batch_size", "8", "--passage_maxlength", "16"])
+        out = str(tmp_path / "retrieved_ivf")
+        rt.main(["--data", query_file, "--passages", corpus_tsv,
+                 "--passages_embeddings", os.path.join(emb_dir, "passages_*"),
+                 "--output_dir", out, "--n_docs", "5",
+                 "--model_name_or_path", model_dir, "--no_fp16",
+                 "--index_type", "ivfpq", "--n_subquantizers", "4",
+                 "--nlist", "4", "--nprobe", "4",
+                 "--per_gpu_batch_size", "4", "--question_maxlength", "16",
+                 "--validation_workers", "2"])
+        with open(os.path.join(out, "queries.jsonl")) as f:
+            rows = [json.loads(line) for line in f]
+        assert all(len(r["ctxs"]) == 5 for r in rows)
+
     def test_pq_index_path(self, tmp_path, model_dir, corpus_tsv,
                            query_file):
         from czechtriever_tpu.cli import generate_embeddings as ge
