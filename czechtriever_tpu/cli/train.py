@@ -13,6 +13,7 @@ Usage (reference-recipe flags, README.md:36-62):
 from __future__ import annotations
 
 import logging
+import os
 import sys
 
 import numpy as np
@@ -101,15 +102,50 @@ def main(argv=None) -> None:
         spec.mask_id, spec.vocab_size = 103, mcfg.vocab_size
 
     if not cfg.train_data:
-        raise SystemExit("--train_data is required (uint16 token file)")
-    stream = TokenStream(
-        cfg.train_data[0], cfg.chunk_length,
-        total_tokens=cfg.total_tokens, seed=cfg.seed,
-        shard_id=meshlib.process_index(), num_shards=meshlib.process_count())
-    batcher = PairBatcher(stream, spec,
-                          batch_size=cfg.per_device_batch_size
-                          * mesh.shape[meshlib.DATA_AXIS],
-                          seed=cfg.seed, prefetch=cfg.num_workers)
+        raise SystemExit("--train_data is required (uint16 token file "
+                         "or jsonl)")
+    global_batch = (cfg.per_device_batch_size
+                    * mesh.shape[meshlib.DATA_AXIS])
+    on_epoch_start = None
+    if cfg.train_data[0].endswith((".jsonl", ".json")):
+        # tokenizer-in-the-loop jsonl paths (reference LazyDataset /
+        # LazyDatasetNoBounds, src/data.py:164-420, picked by
+        # orig_sampling like load_data at src/data.py:105-136)
+        if tokenizer is None:
+            raise SystemExit("jsonl training needs a tokenizer "
+                             "(local model dir with vocab.txt)")
+        from czechtriever_tpu.data import lazy
+        from czechtriever_tpu.data.datasets import IndexedPairBatcher
+        path = cfg.train_data[0]
+        if cfg.orig_sampling:
+            if cfg.offsets_file and os.path.exists(cfg.offsets_file):
+                offsets, cumsums = lazy.load_line_index(cfg.offsets_file)
+            else:
+                offsets, cumsums = lazy.build_line_index(path, tokenizer)
+            dataset = lazy.LazyJsonlNoBounds(
+                path, tokenizer, spec, cfg.chunk_length, offsets, cumsums,
+                normalize_text=cfg.normalize_text, seed=cfg.seed)
+            on_epoch_start = dataset.generate_offset
+        else:
+            offsets = None
+            if cfg.offsets_file and os.path.exists(cfg.offsets_file):
+                offsets, _ = lazy.load_line_index(cfg.offsets_file)
+            dataset = lazy.LazyJsonlDataset(
+                path, tokenizer, spec, cfg.chunk_length, offsets=offsets,
+                normalize_text=cfg.normalize_text, seed=cfg.seed)
+        batcher = IndexedPairBatcher(
+            dataset, global_batch, max_length=cfg.chunk_length + 2,
+            seed=cfg.seed, shard_id=meshlib.process_index(),
+            num_shards=meshlib.process_count(), prefetch=cfg.num_workers)
+    else:
+        stream = TokenStream(
+            cfg.train_data[0], cfg.chunk_length,
+            total_tokens=cfg.total_tokens, seed=cfg.seed,
+            shard_id=meshlib.process_index(),
+            num_shards=meshlib.process_count())
+        batcher = PairBatcher(stream, spec, batch_size=global_batch,
+                              seed=cfg.seed, prefetch=cfg.num_workers)
+        on_epoch_start = stream.generate_offset
     val_dataset = build_val_dataset(cfg, spec, tokenizer)
 
     metrics = MetricsLogger(cfg.output_dir) if meshlib.is_main() else None
@@ -121,7 +157,7 @@ def main(argv=None) -> None:
     start = trainer.maybe_resume()
     logger.info("Training from step %d (update_freq=%d, global microbatch=%d)",
                 start, trainer.update_freq, trainer.global_micro)
-    trainer.fit(batcher.epoch, on_epoch_start=stream.generate_offset)
+    trainer.fit(batcher.epoch, on_epoch_start=on_epoch_start)
     trainer.save("final")
     logger.info("Done at step %d", int(np.asarray(trainer.state.step)))
 

@@ -260,6 +260,40 @@ def make_teacher_retokenizer(student_tokenizer, teacher_tokenizer,
     return transform
 
 
+class IndexedPairBatcher:
+    """Shuffled fixed-shape batches over an indexed pair dataset
+    (LazyJsonlDataset / LazyJsonlNoBounds / InMemoryDataset) — the jsonl
+    training path (reference train.py:187-202 DataLoader over
+    LazyDataset, src/data.py:164-420). Supports shard striding over the
+    index space for multi-host runs."""
+
+    def __init__(self, dataset, batch_size: int, max_length: int,
+                 seed: int = 0, shard_id: int = 0, num_shards: int = 1,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collator = PairCollator(max_length)
+        self.rng = np.random.default_rng(seed)
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.prefetch = prefetch
+
+    def _epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.rng.permutation(len(self.dataset))
+        order = order[self.shard_id::self.num_shards]
+        examples = []
+        for i in order:
+            examples.append(self.dataset[int(i)])
+            if len(examples) == self.batch_size:
+                yield self.collator(examples)
+                examples = []
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch > 0:
+            return iter(_Prefetcher(self._epoch, depth=self.prefetch))
+        return self._epoch()
+
+
 class DistillBatcher:
     """Single-crop query batches for distillation (reference
     DistillDataset, src/data.py:211-285: one random crop per chunk,

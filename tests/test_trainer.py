@@ -156,3 +156,66 @@ class TestTrainCLI:
         with open(os.path.join(out, "metrics.jsonl")) as f:
             recs = [json.loads(l) for l in f]
         assert any("train/loss" in r for r in recs)
+
+
+@pytest.mark.slow
+class TestTrainCLIJsonl:
+    def _model_dir(self, tmp_path):
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+            f"w{i}" for i in range(40)]
+        d = tmp_path / "model"
+        os.makedirs(d)
+        with open(d / "config.json", "w") as f:
+            json.dump({"vocab_size": len(vocab), "hidden_size": 32,
+                       "num_hidden_layers": 2, "num_attention_heads": 2,
+                       "intermediate_size": 64,
+                       "max_position_embeddings": 64}, f)
+        with open(d / "vocab.txt", "w") as f:
+            f.write("\n".join(vocab) + "\n")
+        return str(d)
+
+    def _jsonl(self, tmp_path, n=256):
+        p = tmp_path / "docs.jsonl"
+        rng = np.random.default_rng(0)
+        with open(p, "w") as f:
+            for _ in range(n):
+                words = " ".join(f"w{rng.integers(0, 40)}"
+                                 for _ in range(24))
+                f.write(json.dumps({"text": words}) + "\n")
+        return str(p)
+
+    def test_jsonl_lazy_dataset_path(self, tmp_path):
+        """jsonl training via LazyJsonlDataset (reference LazyDataset,
+        src/data.py:164-207)."""
+        from czechtriever_tpu.cli import train as train_cli
+        out = str(tmp_path / "run")
+        train_cli.main([
+            "--train_data", self._jsonl(tmp_path), "--output_dir", out,
+            "--save_dir", out, "--contrastive_mode", "moco",
+            "--queue_size", "64", "--chunk_length", "16",
+            "--target_batch_size", "16", "--per_device_batch_size", "2",
+            "--total_steps", "3", "--log_freq", "1", "--lr", "1e-3",
+            "--random_init", "--retriever_model_id",
+            self._model_dir(tmp_path), "--dtype", "float32",
+            "--projection_size", "32",
+        ])
+        assert os.path.exists(os.path.join(out, "checkpoint", "final"))
+
+    def test_jsonl_nobounds_path(self, tmp_path):
+        """orig_sampling picks the cumsum window dataset (reference
+        LazyDatasetNoBounds, src/data.py:358-420)."""
+        from czechtriever_tpu.cli import train as train_cli
+        out = str(tmp_path / "run2")
+        train_cli.main([
+            "--train_data", self._jsonl(tmp_path), "--output_dir", out,
+            "--save_dir", out, "--contrastive_mode", "inbatch",
+            "--orig_sampling", "--chunk_length", "16",
+            "--target_batch_size", "16", "--per_device_batch_size", "2",
+            "--total_steps", "3", "--log_freq", "1", "--lr", "1e-3",
+            "--random_init", "--retriever_model_id",
+            self._model_dir(tmp_path), "--dtype", "float32",
+            "--projection_size", "32",
+        ])
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert any("train/loss" in r for r in recs)
