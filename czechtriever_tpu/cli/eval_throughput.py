@@ -11,7 +11,10 @@ OOM to find the maximum batch — adapted to TPU/XLA semantics:
   * timing syncs via a scalar readback of the result (under the TPU
     tunnel ``block_until_ready`` does not wait for remote execution);
   * optionally measures retrieval QPS of the Flat vs PQ index at equal
-    corpus size — the index-memory parity axis from BASELINE.md.
+    corpus size — the index-memory parity axis from BASELINE.md;
+  * optionally the full translate pipeline (harness 1,
+    eval_throughput.py:55-211): Marian cs->en greedy decode feeding the
+    retriever encoder, timed end to end.
 
 Prints human-readable results plus one JSON line per measurement.
 """
@@ -139,6 +142,50 @@ def measure_search(dim: int, n_docs: int, n_queries: int, top_k: int,
     }
 
 
+def measure_translate_encode(params, mcfg, t_params, tcfg, batch_size,
+                             *, iterations, min_len, max_len,
+                             max_new_tokens=32, seed=0):
+    """Translation pipeline throughput (eval_throughput.py:55-211):
+    Marian greedy decode -> re-encode the translated ids. Timing covers
+    both stages per batch."""
+    import jax
+    import jax.numpy as jnp
+    from czechtriever_tpu.models import marian
+    from czechtriever_tpu.models.contriever import encode as enc_fn
+
+    def pipeline(tp, p_, ids, mask):
+        out = marian.greedy_generate(tp, tcfg, ids, mask,
+                                     max_new_tokens=max_new_tokens)
+        out_mask = (out != tcfg.pad_token_id).astype(jnp.int32)
+        # translated ids feed the retriever encoder directly; vocabs
+        # differ in practice but the compute cost is representative
+        clipped = jnp.clip(out, 0, mcfg.vocab_size - 1)
+        return enc_fn(p_, mcfg, clipped, out_mask, deterministic=True)
+
+    fn = jax.jit(pipeline)
+    rng = np.random.default_rng(seed)
+    batches = [get_random_batch(rng, batch_size,
+                                min(tcfg.vocab_size - 2, mcfg.vocab_size),
+                                min_len, max_len)
+               for _ in range(iterations)]
+    import jax.numpy as jnp2
+    out = fn(t_params, params, jnp2.asarray(batches[0][0]),
+             jnp2.asarray(batches[0][1]))
+    float(np.asarray(out)[0, 0])
+    times = []
+    for ids, mask in batches:
+        t0 = time.perf_counter()
+        out = fn(t_params, params, jnp2.asarray(ids), jnp2.asarray(mask))
+        float(np.asarray(out)[0, 0])
+        times.append(time.perf_counter() - t0)
+    total = sum(times)
+    return {"batch_size": batch_size,
+            "samples_per_s": batch_size * iterations / total,
+            "latency_ms_p50": float(np.quantile(np.array(times) * 1e3,
+                                                0.5)),
+            "max_new_tokens": max_new_tokens}
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model_name_or_path", type=str, default="czert")
@@ -153,6 +200,12 @@ def main(argv=None) -> None:
     p.add_argument("--search_docs", type=int, default=100_000)
     p.add_argument("--search_queries", type=int, default=256)
     p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--translate", action="store_true",
+                   help="measure the Marian cs->en translation pipeline "
+                        "(harness 1)")
+    p.add_argument("--translator_model_path", type=str,
+                   default="Helsinki-NLP/opus-mt-cs-en")
+    p.add_argument("--max_new_tokens", type=int, default=32)
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -183,6 +236,26 @@ def main(argv=None) -> None:
                                 min_len=args.min_seq_length,
                                 max_len=args.max_seq_length)
         print(json.dumps({"measurement": "encode_max_batch", **res_mb}))
+
+    if args.translate:
+        import os as _os
+        import jax as _jax
+        from czechtriever_tpu.models import marian
+        if _os.path.isdir(args.translator_model_path):
+            t_params, tcfg = marian.load_hf_dir(args.translator_model_path)
+        else:
+            logger.warning("translator %r not found locally; random-init "
+                           "opus-mt geometry", args.translator_model_path)
+            tcfg = marian.MarianConfig(dtype=args.dtype)
+            t_params = marian.init_params(_jax.random.key(0), tcfg)
+        res_t = measure_translate_encode(
+            params, mcfg, t_params, tcfg, args.batch_size,
+            iterations=max(3, args.iterations // 10),
+            min_len=args.min_seq_length, max_len=args.max_seq_length,
+            max_new_tokens=args.max_new_tokens)
+        logger.info("translate+encode: %.1f samples/s, p50 %.1f ms",
+                    res_t["samples_per_s"], res_t["latency_ms_p50"])
+        print(json.dumps({"measurement": "translate_encode", **res_t}))
 
     if args.search:
         dim = mcfg.hidden_size
