@@ -70,6 +70,13 @@ class BertConfig:
     # exposes static per-layer indices so XLA can keep the stacked
     # weight-gradient updates in place instead of copying the buffer
     scan_unroll: int = 1
+    # "fused": Pallas LayerNorm kernel (ops/layernorm.py, TPU only);
+    # "xla" (default): matmul-stats LN — measured equal or slightly
+    # faster than the fused kernel both standalone (3.05 vs 3.76 ms
+    # fwd+bwd at [32768,768]) and in the train step (440 vs 437
+    # pairs/s), because XLA fuses the residual add and dropout into its
+    # LN chain while the kernel forces a boundary
+    ln_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -179,12 +186,19 @@ def partition_specs(cfg: BertConfig, model_axis: str = "model") -> Params:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _layer_norm(x, scale, bias, eps):
-    """LayerNorm with row statistics computed as f32 matmuls against a
-    ones vector: cross-lane reductions over the feature dim run ~8x
-    below HBM bandwidth on the VPU, while the MXU row-sum form measured
-    1.5ms vs 2.2ms fwd (1.7 vs 2.5 fwd+bwd) at [128,256,768] and is
-    bit-identical to the reduce form."""
+def _layer_norm(x, scale, bias, eps, impl: str = "xla"):
+    """LayerNorm. impl="fused" uses the Pallas kernel (one HBM read +
+    one write, ops/layernorm.py); the XLA path computes row statistics
+    as f32 matmuls against a ones vector (cross-lane reductions over the
+    feature dim run ~8x below HBM bandwidth on the VPU; the MXU row-sum
+    form measured 1.5ms vs 2.2ms fwd at [128,256,768] and is
+    bit-identical to the reduce form)."""
+    if impl == "fused" or (impl == "auto"
+                           and jax.default_backend() == "tpu"):
+        from czechtriever_tpu.ops.layernorm import fused_layer_norm
+        shape = x.shape
+        y = fused_layer_norm(x.reshape(-1, shape[-1]), scale, bias, eps)
+        return y.reshape(shape)
     x32 = x.astype(jnp.float32)
     D = x32.shape[-1]
     ones = jnp.ones((D, 1), jnp.float32)
@@ -242,7 +256,8 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
     attn_out = _dropout(attn_out, cfg.hidden_dropout_prob,
                         rngs.get("h1"), deterministic)
     x = _layer_norm(x + attn_out, lp["attn_ln"]["scale"],
-                    lp["attn_ln"]["bias"], cfg.layer_norm_eps)
+                    lp["attn_ln"]["bias"], cfg.layer_norm_eps,
+                    impl=cfg.ln_impl)
 
     h = proj(x, lp["ffn_in_kernel"], lp["ffn_in_bias"])
     # gelu in compute dtype: an f32 upcast here makes XLA save three
@@ -252,7 +267,7 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
     h = proj(h, lp["ffn_out_kernel"], lp["ffn_out_bias"])
     h = _dropout(h, cfg.hidden_dropout_prob, rngs.get("h2"), deterministic)
     x = _layer_norm(x + h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"],
-                    cfg.layer_norm_eps)
+                    cfg.layer_norm_eps, impl=cfg.ln_impl)
     return x
 
 
@@ -286,7 +301,7 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
         token_type_ids = jnp.zeros_like(input_ids)
     x = x + emb["token_type"][token_type_ids]
     x = _layer_norm(x.astype(dt), emb["ln"]["scale"], emb["ln"]["bias"],
-                    cfg.layer_norm_eps)
+                    cfg.layer_norm_eps, impl=cfg.ln_impl)
 
     if dropout_rng is not None and not deterministic:
         emb_rng, layer_rng = jax.random.split(dropout_rng)
