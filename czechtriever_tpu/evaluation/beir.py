@@ -133,8 +133,11 @@ class DenseEncoder:
                     and self.doc_params is not None else self.mcfg)
             emb = encode_fn(params, mcfg, jids, jmask,
                             pooling_mode=self.pooling, normalize=normalize)
-            out.append(np.asarray(emb)[:n_real])
-        return np.concatenate(out, axis=0)
+            # keep results on device: jax dispatch is async, so batches
+            # pipeline instead of paying a host sync per batch (the
+            # TPU-tunnel round trip alone is ~50 ms)
+            out.append(emb[:n_real])
+        return np.concatenate([np.asarray(e) for e in out], axis=0)
 
     def encode_queries(self, queries, batch_size: int = 128) -> np.ndarray:
         return self._encode_texts(list(queries), batch_size, self.norm_query)

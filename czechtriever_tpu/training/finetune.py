@@ -41,8 +41,8 @@ def _encode_all(params, mcfg, ids, mask, batch_size, normalize, pooling):
         emb = encode(params, mcfg, ids[s:s + batch_size],
                      mask[s:s + batch_size], deterministic=True,
                      normalize=normalize, pooling_mode=pooling)
-        out.append(np.asarray(emb))
-    return np.concatenate(out, axis=0)[:n]
+        out.append(emb)  # stays on device: batches pipeline async
+    return np.concatenate([np.asarray(e) for e in out], axis=0)[:n]
 
 
 def evaluate_finetune(params: bert.Params, mcfg: bert.BertConfig, cfg,
