@@ -50,7 +50,7 @@ def model_flops_per_pair(mcfg, seq: int, queue_size: int,
 
 def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           attention_impl: str = "auto", hidden_act: str = "gelu_tanh",
-          unroll: int = 1):
+          unroll: int = 1, ema_every_step: bool = False):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config
@@ -71,7 +71,8 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
     cfg = Config(queue_size=queue_size, temperature=0.05, momentum=0.9995,
                  projection_size=768, lr=1e-5, warmup_steps=20000,
                  total_steps=500000, scheduler="linear",
-                 clip_gradients=False, remat=remat_arg)
+                 clip_gradients=False, remat=remat_arg,
+                 ema_every_step=ema_every_step)
     mesh = meshlib.make_mesh()
     tx = optim.make_optimizer(cfg)
     st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
@@ -89,10 +90,12 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
 
 def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         remat, attention_impl: str = "auto",
-        hidden_act: str = "gelu_tanh", unroll: int = 1):
+        hidden_act: str = "gelu_tanh", unroll: int = 1,
+        ema_every_step: bool = False):
     import jax
     step_fn, st, b, cfg = build(batch, accum, seq, queue_size, remat,
-                                attention_impl, hidden_act, unroll)
+                                attention_impl, hidden_act, unroll,
+                                ema_every_step)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
@@ -127,6 +130,7 @@ def main():
     p.add_argument("--gelu", default="gelu_tanh",
                    choices=("gelu", "gelu_tanh"))
     p.add_argument("--unroll", type=int, default=1)
+    p.add_argument("--ema_every_step", action="store_true")
     args = p.parse_args()
 
     batch = args.batch
@@ -134,7 +138,8 @@ def main():
         try:
             sps, spstep, loss = run(batch, args.accum, args.seq,
                                     args.queue_size, args.steps, args.remat,
-                                    args.attention, args.gelu, args.unroll)
+                                    args.attention, args.gelu, args.unroll,
+                                    args.ema_every_step)
             break
         except Exception as e:
             oom = ("RESOURCE_EXHAUSTED" in str(e)

@@ -114,6 +114,11 @@ class Config:
     save_freq: int = 50000
     # per-parameter gradient-norm logging (reference train.py:295-309)
     log_param_grad_norms: bool = False
+    # hoist the MoCo EMA out of the microbatch scan: one momentum^A
+    # update per optimizer step (final key params identical; microbatch
+    # keys deviate by <= accum*(1-momentum), ~0.4% at the reference
+    # recipe). Off = exact reference semantics.
+    ema_every_step: bool = False
     maxload: Optional[int] = None
     label_smoothing: float = 0.0
 

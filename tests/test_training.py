@@ -229,3 +229,31 @@ class TestMesh:
     def test_is_main(self):
         assert meshlib.is_main()
         assert meshlib.process_count() == 1
+
+
+class TestEmaEveryStep:
+    def test_final_key_params_identical(self):
+        """One momentum^A update == A sequential momentum updates when
+        params_q is fixed (exact identity); only the per-microbatch keys
+        differ, so params_k after the step must match exactly-ish."""
+        cfg_a = tiny_cfg()
+        cfg_b = tiny_cfg(ema_every_step=True)
+        mcfg = tiny_mcfg()
+        batch = make_batch(np.random.default_rng(0), 4, 8, 16,
+                           mcfg.vocab_size)
+        rng = jax.random.key(1)
+        outs = {}
+        for name, cfg in (("seq", cfg_a), ("hoist", cfg_b)):
+            tx = optim.make_optimizer(cfg)
+            st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg,
+                                            tx)
+            fn = jax.jit(steps.make_moco_step(cfg, mcfg, tx))
+            st2, stats = fn(st, batch, rng)
+            outs[name] = (st2, stats)
+        for a, b in zip(jax.tree.leaves(outs["seq"][0].params_k),
+                        jax.tree.leaves(outs["hoist"][0].params_k)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        # losses differ only through the slightly different key params
+        assert abs(float(outs["seq"][1]["loss"])
+                   - float(outs["hoist"][1]["loss"])) < 0.5
