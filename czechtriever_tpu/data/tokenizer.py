@@ -46,6 +46,106 @@ def _clean(text: str) -> str:
     return "".join(out)
 
 
+# --- vectorized basic tokenization ------------------------------------------
+# The per-character Python loops above dominate tokenization time (~90%
+# in profile). This path classifies every codepoint through a lazily
+# built lookup table (exact unicodedata semantics) with numpy fancy
+# indexing, so the per-char work runs at C speed; the wordpiece
+# longest-match stays in Python (it was already <10% of the time).
+
+_PUNCT, _SPACE, _DROP, _CJK, _MN = 1, 2, 4, 8, 16
+_MAX_CP = 0x110000
+_tables = None
+
+
+def _build_tables() -> np.ndarray:
+    tbl = np.zeros(_MAX_CP, np.uint8)
+    for cp in range(_MAX_CP):
+        ch = chr(cp)
+        cat = unicodedata.category(ch)
+        bits = 0
+        if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) \
+                or (123 <= cp <= 126) or cat.startswith("P"):
+            bits |= _PUNCT
+        # the slow path splits with str.split(), which also treats
+        # Zl/Zp (U+2028/29) and other python-isspace chars as separators
+        if ch.isspace() or cat == "Zs":
+            bits |= _SPACE
+        if cp == 0 or cp == 0xFFFD or (cat == "Cc" and ch not in "\t\n\r"):
+            bits |= _DROP
+        if _is_cjk(cp):
+            bits |= _CJK
+        if cat == "Mn":
+            bits |= _MN
+        tbl[cp] = bits
+    return tbl
+
+
+def _get_tables() -> np.ndarray:
+    global _tables
+    if _tables is None:
+        _tables = _build_tables()
+    return _tables
+
+
+def _cps(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), np.uint32)
+
+
+def _basic_tokenize_fast(text: str, do_lower_case: bool,
+                         strip_accents: bool) -> List[str]:
+    """Vectorized equivalent of _basic_tokenize. Ordering notes: the
+    reference lowers/NFDs per whitespace token; doing it over the whole
+    cleaned text is equivalent because case mapping and NFD never
+    produce whitespace or punctuation, and CJK compatibility ideographs
+    (which NFD remaps) stay inside the CJK ranges."""
+    tbl = _get_tables()
+    cps = _cps(text)
+    if cps.size == 0:
+        return []
+    cls = tbl[cps]
+    keep = (cls & _DROP) == 0
+    cps = cps[keep]
+    cls = cls[keep]
+    if cps.size == 0:
+        return []
+    # \t\n\r + Zs -> plain space
+    cps = np.where((cls & _SPACE) != 0, np.uint32(32), cps)
+    text = cps.tobytes().decode("utf-32-le")
+    if do_lower_case:
+        text = text.lower()
+    if strip_accents:
+        text = unicodedata.normalize("NFD", text)
+    cps = _cps(text)
+    cls = tbl[cps]
+    if strip_accents:
+        keep = (cls & _MN) == 0
+        cps = cps[keep]
+        cls = cls[keep]
+        if cps.size == 0:
+            return []
+        text = cps.tobytes().decode("utf-32-le")
+    is_sep = cps == 32
+    is_single = (cls & (_PUNCT | _CJK)) != 0
+    # token boundaries: a new token starts at a non-sep position that is
+    # single-char, follows a sep/single, or is position 0
+    starts = np.flatnonzero(
+        ~is_sep & (is_single
+                   | np.concatenate(([True], (is_sep | is_single)[:-1]))))
+    if starts.size == 0:
+        return []
+    # token end = next sep/single boundary after the start
+    boundary = np.flatnonzero(is_sep | is_single)
+    if boundary.size == 0:
+        return [text]
+    idx = np.searchsorted(boundary, starts, side="right")
+    ends = np.where(idx < boundary.size,
+                    boundary[np.minimum(idx, boundary.size - 1)],
+                    cps.size)
+    ends = np.where(is_single[starts], starts + 1, ends)
+    return [text[a:b] for a, b in zip(starts.tolist(), ends.tolist())]
+
+
 class WordPieceTokenizer:
     """HF BertTokenizer-compatible (vocab.txt, [CLS]/[SEP]/[UNK]/[PAD]/[MASK])."""
 
@@ -98,6 +198,12 @@ class WordPieceTokenizer:
 
     # -- basic tokenization -------------------------------------------------
     def _basic_tokenize(self, text: str) -> List[str]:
+        return _basic_tokenize_fast(text, self.do_lower_case,
+                                    self.strip_accents)
+
+    def _basic_tokenize_slow(self, text: str) -> List[str]:
+        """Per-character reference implementation; kept as the
+        equivalence oracle for the vectorized path."""
         text = _clean(text)
         # isolate CJK chars (mBERT-style)
         chars = []

@@ -71,3 +71,48 @@ class TestBatch:
     def test_decode_roundtrip(self, pair):
         _, ours = pair
         assert ours.decode(ours.encode("the quick foxes!")) == "the quick foxes !"
+
+
+class TestFastBasicTokenize:
+    """The vectorized basic tokenizer must match the per-character
+    reference implementation on adversarial unicode."""
+
+    CASES = [
+        "Příliš žluťoučký kůň úpěl ďábelské ódy",
+        "PŘÍLIŠ ŽLUŤOUČKÝ KŮŇ",
+        "hello, world!  multiple   spaces\tand\ttabs\nnewlines",
+        "中文字符测试 mixed with latin",
+        "中é́ combining", "",
+        "\x00control\x01chars\x7f here�",
+        "İstanbul ẞharp Straße",     # multi-char lowercase expansions
+        "emoji 🙂 and astral 𝔘𝔫𝔦 chars",
+        "„czech quotes“ a –dashes—",
+        "豈 compat ideograph",   # NFD remaps into the CJK main block
+        "áb̊c",           # bare combining marks
+        "   ",
+        "word" * 60,
+        "punct.!?seq;;;", "a", ".", "ř",
+    ]
+
+    @pytest.mark.parametrize("lower", [True, False])
+    def test_matches_slow_path(self, lower):
+        from czechtriever_tpu.data import tokenizer as T
+        tok = WordPieceTokenizer({"[UNK]": 1}, do_lower_case=lower)
+        for text in self.CASES:
+            fast = T._basic_tokenize_fast(text, lower, tok.strip_accents)
+            slow = tok._basic_tokenize_slow(text)
+            assert fast == slow, (text, fast, slow)
+
+    def test_random_fuzz_matches_slow(self):
+        from czechtriever_tpu.data import tokenizer as T
+        rng = np.random.default_rng(0)
+        pools = [(32, 127), (0x80, 0x250), (0x300, 0x370),
+                 (0x4E00, 0x4E80), (0x1F600, 0x1F640), (0x2000, 0x2070)]
+        tok = WordPieceTokenizer({"[UNK]": 1}, do_lower_case=True)
+        for _ in range(60):
+            lo, hi = pools[int(rng.integers(0, len(pools)))]
+            cps = rng.integers(lo, hi, size=int(rng.integers(1, 80)))
+            text = "".join(chr(int(c)) for c in cps)
+            fast = T._basic_tokenize_fast(text, True, True)
+            slow = tok._basic_tokenize_slow(text)
+            assert fast == slow, (repr(text), fast, slow)
