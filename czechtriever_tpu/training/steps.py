@@ -115,6 +115,88 @@ def make_inbatch_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
     return train_step
 
 
+def make_inbatch_gradcache_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
+    """InBatch with gradient caching (Gao et al., "Scaling Deep
+    Contrastive Learning Batch Size under Memory Limited Setup" /
+    the dense-retriever gradient-accumulation method, arXiv:2406.12356):
+    the InfoNCE is computed over the FULL target batch (A*B negatives
+    instead of B), while activation memory stays at one microbatch:
+
+      pass 1: encode all microbatches without building the backward;
+      loss:   full-batch InfoNCE + grads w.r.t. the embeddings (cheap);
+      pass 2: re-encode each microbatch (same dropout rngs) and pull the
+              cached embedding cotangents through with jax.vjp.
+
+    Beyond the reference: its gradient accumulation keeps each
+    microbatch's loss local (train.py:227-266), so negatives never cross
+    microbatches. Enable with contrastive_mode="inbatch_gradcache"."""
+
+    def train_step(state: InBatchState, batch: Batch,
+                   rng: jax.Array) -> Tuple[InBatchState, Stats]:
+        rng = jax.random.fold_in(rng, state.step)
+        A, B = batch["q_tokens"].shape[:2]
+        micro_rngs = jax.random.split(rng, A)
+        mbs = dict(batch)
+
+        def enc_pair(params, mb, mrng):
+            qr, kr = jax.random.split(mrng)
+            q = encode(params, mcfg, mb["q_tokens"], mb["q_mask"],
+                       dropout_rng=qr, deterministic=False,
+                       normalize=cfg.norm_query, pooling_mode=cfg.pooling,
+                       remat=cfg.remat)
+            k = encode(params, mcfg, mb["k_tokens"], mb["k_mask"],
+                       dropout_rng=kr, deterministic=False,
+                       normalize=cfg.norm_doc, pooling_mode=cfg.pooling,
+                       remat=cfg.remat)
+            return q, k
+
+        # pass 1: representation-only forward
+        def fwd_micro(_, xs):
+            mb, mrng = xs
+            return None, enc_pair(state.params, mb, mrng)
+
+        _, (qs, ks) = jax.lax.scan(fwd_micro, None, (mbs, micro_rngs))
+        D = qs.shape[-1]
+        qall, kall = qs.reshape(A * B, D), ks.reshape(A * B, D)
+
+        def emb_loss(qa, ka):
+            loss, stats = losses.inbatch_loss(qa, ka, cfg.temperature,
+                                              cfg.label_smoothing)
+            return loss, stats
+
+        (_, stats), (gq, gk) = jax.value_and_grad(
+            emb_loss, argnums=(0, 1), has_aux=True)(qall, kall)
+        gq = gq.reshape(A, B, D)
+        gk = gk.reshape(A, B, D)
+
+        # pass 2: same forwards under vjp, pull cached cotangents through
+        def bwd_micro(grad_sum, xs):
+            mb, mrng, gqi, gki = xs
+            _, vjp_fn = jax.vjp(
+                lambda p: enc_pair(p, mb, mrng), state.params)
+            (g,) = vjp_fn((gqi, gki))
+            return jax.tree.map(jnp.add, grad_sum, g), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        grads, _ = jax.lax.scan(bwd_micro, zero_grads,
+                                (mbs, micro_rngs, gq, gk))
+        if state.init_params is not None:
+            pen_g = jax.grad(losses.l2_from_init_penalty)(
+                state.params, state.init_params, cfg.weight_decay)
+            grads = jax.tree.map(jnp.add, grads, pen_g)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        out_stats = dict(stats)
+        out_stats["grad_norm"] = global_norm(grads)
+        if getattr(cfg, "log_param_grad_norms", False):
+            out_stats.update(per_param_grad_norms(grads))
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), out_stats
+
+    return train_step
+
+
 def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
     """Build the MoCo train step: (state, batch[A,B,L], rng) ->
     (state, stats)."""

@@ -66,6 +66,12 @@ class Trainer:
             self.state = statelib.create_inbatch_state(rng, cfg, mcfg, self.tx,
                                                        params=init_params)
             step_fn = steps.make_inbatch_step(cfg, mcfg, self.tx)
+        elif cfg.contrastive_mode == "inbatch_gradcache":
+            # full-target-batch negatives at microbatch memory
+            # (beyond-reference; see make_inbatch_gradcache_step)
+            self.state = statelib.create_inbatch_state(rng, cfg, mcfg, self.tx,
+                                                       params=init_params)
+            step_fn = steps.make_inbatch_gradcache_step(cfg, mcfg, self.tx)
         elif cfg.contrastive_mode == "distill":
             from czechtriever_tpu.training import distill as distill_lib
             if teacher_mcfg is None:

@@ -257,3 +257,75 @@ class TestEmaEveryStep:
         # losses differ only through the slightly different key params
         assert abs(float(outs["seq"][1]["loss"])
                    - float(outs["hoist"][1]["loss"])) < 0.5
+
+
+class TestGradCache:
+    """GradCache InBatch: full-target-batch negatives at microbatch
+    memory (arXiv:2406.12356)."""
+
+    def test_equals_single_pass_full_batch(self):
+        """With dropout off, A microbatches under gradcache must produce
+        exactly the same update as one A*B batch through the plain
+        InBatch step (that is the whole point of the method)."""
+        mcfg = tiny_mcfg(dropout=0.0)
+        cfg = tiny_cfg(contrastive_mode="inbatch_gradcache")
+        tx = optim.make_optimizer(cfg)
+        st0 = statelib.create_inbatch_state(jax.random.key(0), cfg, mcfg, tx)
+
+        A, B, L = 4, 4, 16
+        batch = make_batch(np.random.default_rng(0), A, B, L,
+                           mcfg.vocab_size)
+        rng = jax.random.key(5)
+
+        gc_fn = jax.jit(steps.make_inbatch_gradcache_step(cfg, mcfg, tx))
+        st_gc, stats_gc = gc_fn(st0, batch, rng)
+
+        # one flat batch of A*B through the plain step
+        flat = {k: v.reshape(1, A * B, L) for k, v in batch.items()}
+        plain_fn = jax.jit(steps.make_inbatch_step(cfg, mcfg, tx))
+        st_pl, stats_pl = plain_fn(st0, flat, rng)
+
+        np.testing.assert_allclose(float(stats_gc["loss"]),
+                                   float(stats_pl["loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(st_gc.params),
+                        jax.tree.leaves(st_pl.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_negatives_cross_microbatches(self):
+        """The gradcache loss must see A*B-way scores (the plain
+        accumulated step only sees B-way per microbatch)."""
+        mcfg = tiny_mcfg(dropout=0.0)
+        cfg = tiny_cfg(contrastive_mode="inbatch_gradcache",
+                       temperature=1.0)
+        tx = optim.make_optimizer(cfg)
+        st0 = statelib.create_inbatch_state(jax.random.key(0), cfg, mcfg, tx)
+        A, B = 4, 4
+        batch = make_batch(np.random.default_rng(1), A, B, 16,
+                           mcfg.vocab_size)
+        gc_fn = jax.jit(steps.make_inbatch_gradcache_step(cfg, mcfg, tx))
+        _, stats_gc = gc_fn(st0, batch, jax.random.key(2))
+        plain_fn = jax.jit(steps.make_inbatch_step(cfg, mcfg, tx))
+        _, stats_pl = plain_fn(st0, batch, jax.random.key(2))
+        # random-init CE ~= log(n_classes): 16-way vs 4-way
+        assert float(stats_gc["loss"]) > float(stats_pl["loss"]) + 0.5
+
+    def test_trainer_mode_wired(self, ):
+        from czechtriever_tpu.training.trainer import Trainer
+        cfg = tiny_cfg(contrastive_mode="inbatch_gradcache",
+                       target_batch_size=32, per_device_batch_size=2,
+                       total_steps=2, log_freq=1, eval_freq=0, save_freq=0,
+                       donate_state=False)
+        t = Trainer(cfg, tiny_mcfg())
+        gen_rng = np.random.default_rng(0)
+
+        def epoch():
+            for _ in range(40):
+                ids = gen_rng.integers(5, 211, (2, t.global_micro, 16)
+                                       ).astype(np.int32)
+                mask = np.ones((t.global_micro, 16), np.int32)
+                yield {"q_tokens": ids[0], "q_mask": mask,
+                       "k_tokens": ids[1], "k_mask": mask}
+
+        t.fit(epoch)
+        assert int(np.asarray(t.state.step)) == 2
