@@ -145,6 +145,9 @@ class IVFPQIndex:
         """Coarse k-means + residual PQ codebooks (trained on the first
         batch, like the reference's PQ path, src/index.py:29)."""
         x = jnp.asarray(embeddings, jnp.float32)
+        if len(embeddings) < self.nlist:
+            # k-means needs k <= n; shrink like FAISS warns+clamps
+            self.nlist = max(1, len(embeddings))
         rng = jax.random.key(self.seed)
         cents, _ = kmeans_ops.kmeans(rng, x, self.nlist,
                                      iters=self.train_iters)

@@ -290,3 +290,74 @@ class TestDemo:
         out = capsys.readouterr().out
         assert "Embedding:" in out
         assert "w1 w2 w3" in out
+
+
+class TestExportHF:
+    def test_checkpoint_to_hf_roundtrip(self, tmp_path):
+        """train 2 steps -> export_hf -> reload via transformers and
+        match the embeddings (save_contriever parity,
+        src/contriever.py:162-166)."""
+        import jax
+        import jax.numpy as jnp
+        from czechtriever_tpu.cli import export_hf
+        from czechtriever_tpu.config import Config
+        from czechtriever_tpu.models import bert
+        from czechtriever_tpu.models.contriever import encode
+        from czechtriever_tpu.training.trainer import Trainer
+
+        mcfg = bert.BertConfig(vocab_size=211, hidden_size=32,
+                               num_hidden_layers=2, num_attention_heads=2,
+                               intermediate_size=64,
+                               max_position_embeddings=64,
+                               hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0,
+                               dtype="float32")
+        out = str(tmp_path / "run")
+        cfg = Config(contrastive_mode="inbatch", target_batch_size=8,
+                     per_device_batch_size=1, total_steps=2, log_freq=1,
+                     eval_freq=0, save_freq=0, output_dir=out,
+                     save_dir=out, projection_size=32, lr=1e-3,
+                     donate_state=False)
+        t = Trainer(cfg, mcfg)
+        rng = np.random.default_rng(0)
+
+        def epoch():
+            for _ in range(10):
+                ids = rng.integers(5, 211, (2, t.global_micro, 12)
+                                   ).astype(np.int32)
+                mask = np.ones((t.global_micro, 12), np.int32)
+                yield {"q_tokens": ids[0], "q_mask": mask,
+                       "k_tokens": ids[1], "k_mask": mask}
+
+        t.fit(epoch)
+        t.save("final")
+
+        mc = str(tmp_path / "m.json")
+        with open(mc, "w") as f:
+            json.dump({"vocab_size": 211, "hidden_size": 32,
+                       "num_hidden_layers": 2, "num_attention_heads": 2,
+                       "intermediate_size": 64,
+                       "max_position_embeddings": 64,
+                       "hidden_dropout_prob": 0.0,
+                       "attention_probs_dropout_prob": 0.0}, f)
+        export_dir = str(tmp_path / "export")
+        export_hf.main(["--checkpoint",
+                        os.path.join(out, "checkpoint", "final"),
+                        "--output_dir", export_dir,
+                        "--model_config_file", mc])
+
+        from transformers import BertModel
+        hf = BertModel.from_pretrained(export_dir,
+                                       add_pooling_layer=False).eval()
+        import torch
+        ids = np.random.default_rng(1).integers(5, 211, (2, 10)
+                                                ).astype(np.int32)
+        mask = np.ones_like(ids)
+        with torch.no_grad():
+            ref = hf(input_ids=torch.tensor(ids.astype(np.int64)),
+                     attention_mask=torch.tensor(mask.astype(np.int64))
+                     ).last_hidden_state.numpy()
+        ours = np.asarray(bert.forward(
+            jax.tree.map(jnp.asarray, t.encoder_params), mcfg,
+            jnp.array(ids), jnp.array(mask)))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)

@@ -259,6 +259,7 @@ class TestEmaEveryStep:
                    - float(outs["hoist"][1]["loss"])) < 0.5
 
 
+@pytest.mark.slow
 class TestGradCache:
     """GradCache InBatch: full-target-batch negatives at microbatch
     memory (arXiv:2406.12356)."""
