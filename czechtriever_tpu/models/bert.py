@@ -327,7 +327,10 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
     if remat == "dots":
         # selective remat: keep matmul outputs, recompute elementwise
         # (LN, gelu, dropout, softmax) in the backward — near-no-remat
-        # FLOPs at a fraction of the saved-activation memory
+        # FLOPs at a fraction of the saved-activation memory. (Also
+        # saving the flash-attention output via checkpoint_name measured
+        # slightly slower: the extra HBM writes cost more than the
+        # kernel re-forward.)
         body = jax.checkpoint(
             body, policy=jax.checkpoint_policies.dots_saveable)
     elif remat:
