@@ -46,7 +46,13 @@ def resolve_teacher(cfg: Config, mcfg: bert.BertConfig):
         tcfg = bert.BertConfig(**{**tcfg.__dict__, "dtype": cfg.dtype,
                                   "hidden_dropout_prob": 0.0,
                                   "attention_probs_dropout_prob": 0.0})
-        tparams, _ = hf_interop.load_hf_dir(tdir)
+        try:
+            tparams, _ = hf_interop.load_hf_dir(tdir)
+        except FileNotFoundError:
+            import jax
+            logger.warning("no weight file in %s; random-init teacher",
+                           tdir)
+            tparams = bert.init_params(jax.random.key(cfg.seed + 99), tcfg)
         ttok = None
         try:
             from czechtriever_tpu.data.tokenizer import load_tokenizer

@@ -254,3 +254,49 @@ class TestTeacherRetokenizer:
         assert "retrieve relevant passages" in decoded
         # original keys untouched
         np.testing.assert_array_equal(out["q_tokens"], ids)
+
+
+@pytest.mark.slow
+class TestDistillCLITeacherVocab:
+    def test_e2e_with_teacher_retokenization(self, tmp_path):
+        """Distill CLI with a teacher dir shipping its own (different)
+        vocabulary: queries get decoded and re-tokenized with the
+        instruction prompt (distill.py:395-405 path)."""
+        from czechtriever_tpu.cli import distill as distill_cli
+        from czechtriever_tpu.data.tokenstream import write_token_file
+
+        svocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+            f"w{i}" for i in range(40)]
+        tvocab = svocab + ["instruct", "query", "web", "search", "given",
+                           "retrieve", "relevant", "passages", "that",
+                           "answer", "the", "a", ",", ".", "<", ">"]
+        sdir = tmp_path / "student"
+        tdir = tmp_path / "teacher"
+        for d, vocab, hidden in ((sdir, svocab, 32), (tdir, tvocab, 48)):
+            os.makedirs(d)
+            with open(d / "config.json", "w") as f:
+                json.dump({"vocab_size": len(vocab), "hidden_size": hidden,
+                           "num_hidden_layers": 2,
+                           "num_attention_heads": 2,
+                           "intermediate_size": 64,
+                           "max_position_embeddings": 128}, f)
+            with open(d / "vocab.txt", "w") as f:
+                f.write("\n".join(vocab) + "\n")
+
+        tokens = np.random.default_rng(0).integers(5, len(svocab), 60_000)
+        tf = str(tmp_path / "tokens.bin")
+        write_token_file(tokens, tf)
+        out = str(tmp_path / "run")
+        distill_cli.main([
+            "--train_data", tf, "--output_dir", out, "--save_dir", out,
+            "--queue_size", "32", "--distill_weight", "0.5",
+            "--chunk_length", "8", "--target_batch_size", "8",
+            "--per_device_batch_size", "1", "--total_steps", "2",
+            "--log_freq", "1", "--lr", "1e-3", "--random_init",
+            "--retriever_model_id", str(sdir),
+            "--teacher_model_id", str(tdir),
+            "--dtype", "float32", "--projection_size", "32",
+        ])
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert any("train/distill_loss" in r for r in recs)

@@ -121,3 +121,24 @@ class TestParity:
                     assert t == cfg.pad_token_id
                 if t == cfg.eos_token_id:
                     seen_eos = True
+
+
+class TestTranslatePipeline:
+    def test_measure_translate_encode_smoke(self):
+        """The harness-1 pipeline (Marian greedy -> retriever encode)
+        runs end to end and reports throughput."""
+        import jax
+        from czechtriever_tpu.cli import eval_throughput as et
+        from czechtriever_tpu.models import bert
+        mcfg = bert.BertConfig(vocab_size=128, hidden_size=32,
+                               num_hidden_layers=2, num_attention_heads=2,
+                               intermediate_size=64,
+                               max_position_embeddings=64, dtype="float32")
+        params = bert.init_params(jax.random.key(0), mcfg)
+        tcfg = marian.MarianConfig.tiny()
+        tparams = marian.init_params(jax.random.key(1), tcfg)
+        res = et.measure_translate_encode(
+            params, mcfg, tparams, tcfg, 4, iterations=2, min_len=4,
+            max_len=12, max_new_tokens=6)
+        assert res["samples_per_s"] > 0
+        assert res["max_new_tokens"] == 6
