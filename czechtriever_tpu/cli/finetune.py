@@ -58,6 +58,11 @@ def make_eval_hook(cfg: Config, eval_batcher, tokenizer, metrics, mesh):
 
 def main(argv=None) -> None:
     cfg = Config.from_args(argv).replace(contrastive_mode="inbatch")
+    # reference finetuning loads the pre-trained encoder from
+    # --model_path (finetuning.py:223, load_retriever with MoCo/InBatch
+    # prefix stripping — hf_interop.load_hf_dir applies the same)
+    if cfg.model_path and cfg.model_path != "none":
+        cfg = cfg.replace(retriever_model_id=cfg.model_path)
     init_logger(cfg.output_dir)
     cfg.print_options()
     from czechtriever_tpu.utils.slurm import init_signal_handler
