@@ -40,6 +40,15 @@ class Trainer:
                  metrics: Optional[MetricsLogger] = None,
                  teacher_mcfg: Optional[bert.BertConfig] = None,
                  teacher_params=None):
+        if cfg.projection_size != mcfg.hidden_size:
+            # the MoCo queue holds encoder outputs, which are
+            # hidden_size-dimensional (no projection head in the
+            # reference either, src/moco.py:218); a stale default here
+            # would fail deep inside the jitted step
+            logger.warning("projection_size %d != encoder hidden_size %d;"
+                           " using %d", cfg.projection_size,
+                           mcfg.hidden_size, mcfg.hidden_size)
+            cfg = cfg.replace(projection_size=mcfg.hidden_size)
         self.cfg = cfg
         self.mcfg = mcfg
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()

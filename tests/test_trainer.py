@@ -219,3 +219,15 @@ class TestTrainCLIJsonl:
         with open(os.path.join(out, "metrics.jsonl")) as f:
             recs = [json.loads(line) for line in f]
         assert any("train/loss" in r for r in recs)
+
+
+class TestProjectionSizeReconciled:
+    def test_queue_follows_hidden_size(self, tmp_path):
+        """cfg.projection_size defaulting to 768 must not break models
+        with a different hidden size (caught by the on-chip soak run:
+        dot_general (256,) vs (768,) deep inside the jitted step)."""
+        cfg = tiny_cfg(tmp_path, projection_size=768)  # stale default
+        t = Trainer(cfg, tiny_mcfg())
+        assert t.state.queue.shape[1] == 32
+        t.fit(micro_epoch(0, 50, t.global_micro, 16, 211))
+        assert int(np.asarray(t.state.step)) == cfg.total_steps
