@@ -330,3 +330,36 @@ class TestGradCache:
 
         t.fit(epoch)
         assert int(np.asarray(t.state.step)) == 2
+
+
+class TestSAM:
+    """Working SAM/ASAM (the reference's finetuning SAM branch
+    references an optimizer it never constructs, finetuning.py:75-80)."""
+
+    @pytest.mark.parametrize("name", ["sam", "asam"])
+    def test_trains_and_differs_from_adamw(self, name):
+        mcfg = tiny_mcfg()
+        batch = make_batch(np.random.default_rng(0), 1, 16, 16,
+                           mcfg.vocab_size)
+
+        def run(optname, steps_n=20):
+            cfg = tiny_cfg(contrastive_mode="inbatch", optim=optname,
+                           rho=0.05)
+            tx = optim.make_optimizer(cfg)
+            st = statelib.create_inbatch_state(jax.random.key(0), cfg,
+                                               mcfg, tx)
+            fn = jax.jit(steps.make_inbatch_step(cfg, mcfg, tx))
+            losses = []
+            for _ in range(steps_n):
+                st, stats = fn(st, batch, jax.random.key(1))
+                losses.append(float(stats["loss"]))
+            return st, losses
+
+        st_sam, l_sam = run(name)
+        st_adam, l_adam = run("adamw")
+        assert l_sam[-1] < l_sam[0]  # learns
+        # SAM alternates ascent/descent -> different trajectory
+        diff = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+            st_sam.params, st_adam.params)))
+        assert diff > 1e-5
