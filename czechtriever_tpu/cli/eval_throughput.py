@@ -144,18 +144,24 @@ def measure_search(dim: int, n_docs: int, n_queries: int, top_k: int,
 
 def measure_translate_encode(params, mcfg, t_params, tcfg, batch_size,
                              *, iterations, min_len, max_len,
-                             max_new_tokens=32, seed=0):
+                             max_new_tokens=32, seed=0, num_beams=1):
     """Translation pipeline throughput (eval_throughput.py:55-211):
-    Marian greedy decode -> re-encode the translated ids. Timing covers
-    both stages per batch."""
+    Marian decode (greedy, or beam search matching the reference's
+    num_beams=4 call at eval_throughput.py:16) -> re-encode the
+    translated ids. Timing covers both stages per batch."""
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.models import marian
     from czechtriever_tpu.models.contriever import encode as enc_fn
 
     def pipeline(tp, p_, ids, mask):
-        out = marian.greedy_generate(tp, tcfg, ids, mask,
-                                     max_new_tokens=max_new_tokens)
+        if num_beams > 1:
+            out = marian.beam_search_generate(
+                tp, tcfg, ids, mask, num_beams=num_beams,
+                max_new_tokens=max_new_tokens)
+        else:
+            out = marian.greedy_generate(tp, tcfg, ids, mask,
+                                         max_new_tokens=max_new_tokens)
         out_mask = (out != tcfg.pad_token_id).astype(jnp.int32)
         # translated ids feed the retriever encoder directly; vocabs
         # differ in practice but the compute cost is representative
@@ -183,7 +189,7 @@ def measure_translate_encode(params, mcfg, t_params, tcfg, batch_size,
             "samples_per_s": batch_size * iterations / total,
             "latency_ms_p50": float(np.quantile(np.array(times) * 1e3,
                                                 0.5)),
-            "max_new_tokens": max_new_tokens}
+            "max_new_tokens": max_new_tokens, "num_beams": num_beams}
 
 
 def main(argv=None) -> None:
@@ -206,6 +212,7 @@ def main(argv=None) -> None:
     p.add_argument("--translator_model_path", type=str,
                    default="Helsinki-NLP/opus-mt-cs-en")
     p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--num_beams", type=int, default=4)  # reference call
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -252,7 +259,8 @@ def main(argv=None) -> None:
             params, mcfg, t_params, tcfg, args.batch_size,
             iterations=max(3, args.iterations // 10),
             min_len=args.min_seq_length, max_len=args.max_seq_length,
-            max_new_tokens=args.max_new_tokens)
+            max_new_tokens=args.max_new_tokens,
+            num_beams=args.num_beams)
         logger.info("translate+encode: %.1f samples/s, p50 %.1f ms",
                     res_t["samples_per_s"], res_t["latency_ms_p50"])
         print(json.dumps({"measurement": "translate_encode", **res_t}))

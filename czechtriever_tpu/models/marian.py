@@ -335,3 +335,107 @@ def load_hf_dir(model_dir: str) -> Tuple[Params, MarianConfig]:
     else:
         raise FileNotFoundError(f"no weights in {model_dir}")
     return params_from_state_dict(sd, cfg), cfg
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_beams", "max_new_tokens",
+                                   "length_penalty"))
+def beam_search_generate(params: Params, cfg: MarianConfig, input_ids,
+                         attention_mask, num_beams: int = 4,
+                         max_new_tokens: int = 64,
+                         length_penalty: float = 1.0) -> jnp.ndarray:
+    """Static-shape beam search matching HF's beam bookkeeping (the
+    reference translates with ``num_beams=4, early_stopping=True``,
+    eval_throughput.py:16):
+
+      * per step: top 2*num_beams candidates over (beam, vocab);
+      * EOS candidates ranked below num_beams enter the finished set
+        (score = sum_logprobs / len(prefix)^length_penalty, HF
+        BeamHypotheses.add); the rest refill the live beams in order;
+      * early_stopping=True: a row freezes once num_beams hypotheses
+        finished;
+      * rows with no finished hypothesis fall back to the live beams
+        (HF finalize).
+
+    Returns [B, max_new_tokens] token ids (pad after EOS).
+    """
+    B = input_ids.shape[0]
+    nb, T = num_beams, max_new_tokens
+    V = cfg.vocab_size
+    NEG = jnp.float32(-1e9)
+    rows = jnp.arange(B)
+
+    enc = encode(params, cfg, input_ids, attention_mask)
+    enc_b = jnp.repeat(enc, nb, axis=0)                   # [B*nb, L, D]
+    mask_b = jnp.repeat(attention_mask, nb, axis=0)
+
+    buf = jnp.full((B, nb, T + 1), cfg.pad_token_id, jnp.int32)
+    buf = buf.at[:, :, 0].set(cfg.decoder_start_token_id)
+    beam_scores = jnp.full((B, nb), NEG).at[:, 0].set(0.0)
+
+    fin_seqs = jnp.full((B, nb, T + 1), cfg.pad_token_id, jnp.int32)
+    fin_scores = jnp.full((B, nb), NEG)
+    fin_count = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, t):
+        buf, beam_scores, fin_seqs, fin_scores, fin_count = carry
+        done_row = fin_count >= nb                        # early_stopping
+
+        logits = decode(params, cfg, buf.reshape(B * nb, T + 1), enc_b,
+                        mask_b)[:, t]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        cand = beam_scores[:, :, None] + logp.reshape(B, nb, V)
+        top_v, top_i = jax.lax.top_k(cand.reshape(B, nb * V), 2 * nb)
+        toks = (top_i % V).astype(jnp.int32)              # [B, 2nb]
+        srcs = (top_i // V).astype(jnp.int32)
+
+        def fill(fc, xs):
+            nbuf, nscores, nfilled, f_seqs, f_scores, f_count = fc
+            rank, cv, ct, cs = xs                         # [B] each
+            prefix = buf[rows, cs]                        # [B, T+1]
+            is_eos = ct == cfg.eos_token_id
+
+            # finished insert (HF: only EOS candidates ranked < nb)
+            can_fin = is_eos & (rank < nb) & (f_count < nb) & ~done_row
+            slot = jnp.clip(f_count, 0, nb - 1)
+            # hypothesis length = prefix tokens incl decoder_start = t+1
+            f_new = cv / (jnp.float32(t + 1) ** length_penalty)
+            write = can_fin[:, None] & (jnp.arange(nb)[None]
+                                        == slot[:, None])
+            f_seqs = jnp.where(write[:, :, None], prefix[:, None, :],
+                               f_seqs)
+            f_scores = jnp.where(write, f_new[:, None], f_scores)
+            f_count = f_count + can_fin.astype(jnp.int32)
+
+            # live-beam refill with non-EOS candidates, in rank order
+            place = (~is_eos) & (nfilled < nb) & ~done_row
+            pslot = jnp.clip(nfilled, 0, nb - 1)
+            new_row = prefix.at[rows, t + 1].set(ct)
+            sel = place[:, None] & (jnp.arange(nb)[None]
+                                    == pslot[:, None])
+            nbuf = jnp.where(sel[:, :, None], new_row[:, None, :], nbuf)
+            nscores = jnp.where(sel, cv[:, None], nscores)
+            nfilled = nfilled + place.astype(jnp.int32)
+            return (nbuf, nscores, nfilled, f_seqs, f_scores,
+                    f_count), None
+
+        init = (buf, beam_scores, jnp.zeros((B,), jnp.int32),
+                fin_seqs, fin_scores, fin_count)
+        ranks = jnp.broadcast_to(jnp.arange(2 * nb)[:, None], (2 * nb, B))
+        (nbuf, nscores, _, fin_seqs, fin_scores, fin_count), _ = \
+            jax.lax.scan(fill, init, (ranks, top_v.T, toks.T, srcs.T))
+
+        buf = jnp.where(done_row[:, None, None], buf, nbuf)
+        beam_scores = jnp.where(done_row[:, None], beam_scores, nscores)
+        return (buf, beam_scores, fin_seqs, fin_scores, fin_count), None
+
+    carry = (buf, beam_scores, fin_seqs, fin_scores, fin_count)
+    (buf, beam_scores, fin_seqs, fin_scores, fin_count), _ = jax.lax.scan(
+        step, carry, jnp.arange(T))
+
+    # finalize: rows with no finished hypothesis use the best live beam
+    live_score = beam_scores / (jnp.float32(T + 1) ** length_penalty)
+    best_fin = jnp.argmax(fin_scores, axis=1)
+    best_live = jnp.argmax(live_score, axis=1)
+    out = jnp.where((fin_count == 0)[:, None],
+                    buf[rows, best_live], fin_seqs[rows, best_fin])
+    return out[:, 1:]

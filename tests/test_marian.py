@@ -142,3 +142,62 @@ class TestTranslatePipeline:
             max_len=12, max_new_tokens=6)
         assert res["samples_per_s"] > 0
         assert res["max_new_tokens"] == 6
+
+
+class TestBeamSearch:
+    def test_matches_hf_beams(self, pair):
+        """Beam search vs HF generate(num_beams=4, early_stopping=True)
+        — the reference's exact translation call
+        (eval_throughput.py:16)."""
+        hf, params, cfg = pair
+        ids, mask = batch(cfg, seed=7, B=4, L=9)
+        with torch.no_grad():
+            ref = hf.generate(
+                input_ids=torch.tensor(ids.astype(np.int64)),
+                attention_mask=torch.tensor(mask.astype(np.int64)),
+                num_beams=4, do_sample=False, early_stopping=True,
+                max_new_tokens=8, min_length=0,
+                length_penalty=1.0).numpy()
+        out = np.asarray(marian.beam_search_generate(
+            params, cfg, jnp.array(ids), jnp.array(mask), num_beams=4,
+            max_new_tokens=8))
+        ref_body = ref[:, 1:]
+        for r, o in zip(ref_body, out):
+            # compare up to the first EOS (HF appends/forces EOS at the
+            # max-length cut; our static buffer pads after EOS)
+            n = min(len(r), len(o)) - 1
+            for t in range(n):
+                assert o[t] == r[t], (o.tolist(), r.tolist())
+                if r[t] == cfg.eos_token_id:
+                    break
+
+    def test_beam_not_worse_than_greedy(self, pair):
+        """Beam-4 total logprob of the selected sequence must be >= the
+        greedy sequence's (same model, same inputs)."""
+        _, params, cfg = pair
+        ids, mask = batch(cfg, seed=8, B=3, L=8)
+
+        def seq_logprob(seq):
+            dec = np.concatenate(
+                [[cfg.decoder_start_token_id], seq]).astype(np.int32)
+            enc = marian.encode(params, cfg, jnp.array(ids[i:i + 1]),
+                                jnp.array(mask[i:i + 1]))
+            logits = np.asarray(marian.decode(
+                params, cfg, jnp.array(dec[None, :-1]), enc,
+                jnp.array(mask[i:i + 1])))[0]
+            logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+            total = 0.0
+            for t, tok in enumerate(seq):
+                total += logp[t, tok]
+                if tok == cfg.eos_token_id:
+                    break
+            return total
+
+        greedy = np.asarray(marian.greedy_generate(
+            params, cfg, jnp.array(ids), jnp.array(mask),
+            max_new_tokens=8))
+        beam = np.asarray(marian.beam_search_generate(
+            params, cfg, jnp.array(ids), jnp.array(mask), num_beams=4,
+            max_new_tokens=8))
+        for i in range(3):
+            assert seq_logprob(beam[i]) >= seq_logprob(greedy[i]) - 1e-4
