@@ -160,8 +160,8 @@ def measure_translate_encode(params, mcfg, t_params, tcfg, batch_size,
                 tp, tcfg, ids, mask, num_beams=num_beams,
                 max_new_tokens=max_new_tokens)
         else:
-            out = marian.greedy_generate(tp, tcfg, ids, mask,
-                                         max_new_tokens=max_new_tokens)
+            out = marian.greedy_generate_cached(
+                tp, tcfg, ids, mask, max_new_tokens=max_new_tokens)
         out_mask = (out != tcfg.pad_token_id).astype(jnp.int32)
         # translated ids feed the retriever encoder directly; vocabs
         # differ in practice but the compute cost is representative

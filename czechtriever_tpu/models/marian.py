@@ -439,3 +439,129 @@ def beam_search_generate(params: Params, cfg: MarianConfig, input_ids,
     out = jnp.where((fin_count == 0)[:, None],
                     buf[rows, best_live], fin_seqs[rows, best_fin])
     return out[:, 1:]
+
+
+# ---------------------------------------------------------------------------
+# KV-cached incremental decoding
+# ---------------------------------------------------------------------------
+
+def _mha_proj_kv(kv_in, p, heads):
+    B = kv_in.shape[0]
+    hd = kv_in.shape[-1] // heads if False else None
+    D = p["k_kernel"].shape[1]
+    hd = D // heads
+    k = (jnp.dot(kv_in, p["k_kernel"]) + p["k_bias"]).reshape(
+        B, -1, heads, hd)
+    v = (jnp.dot(kv_in, p["v_kernel"]) + p["v_bias"]).reshape(
+        B, -1, heads, hd)
+    return k, v
+
+
+def init_decode_cache(params: Params, cfg: MarianConfig, enc_out,
+                      batch: int, max_len: int):
+    """Pre-compute cross-attention K/V once per layer and allocate the
+    self-attention ring buffers."""
+    heads = cfg.decoder_attention_heads
+    hd = cfg.d_model // heads
+    cache = []
+    for lp in params["decoder_layers"]:
+        ck, cv = _mha_proj_kv(enc_out, lp["cross_attn"], heads)
+        cache.append({
+            "self_k": jnp.zeros((batch, max_len, heads, hd),
+                                cfg.compute_dtype),
+            "self_v": jnp.zeros((batch, max_len, heads, hd),
+                                cfg.compute_dtype),
+            "cross_k": ck, "cross_v": cv,
+        })
+    return cache
+
+
+def decode_step(params: Params, cfg: MarianConfig, tok, t, cache,
+                enc_mask):
+    """One incremental decoder step: tok [B] int32 at position t.
+    Returns (logits [B, V], updated cache). Attention over cached keys
+    with positions > t masked."""
+    heads = cfg.decoder_attention_heads
+    hd = cfg.d_model // heads
+    B = tok.shape[0]
+    x = _embed_at(params, cfg, tok, t)                   # [B, 1, D]
+    new_cache = []
+    Tc = cache[0]["self_k"].shape[1]
+    pos_ok = (jnp.arange(Tc)[None, :] <= t)              # [1, Tc]
+    self_bias = jnp.where(pos_ok, 0.0, -1e9
+                          ).astype(jnp.float32)[:, None, None, :]
+    cross_bias = _key_bias(enc_mask)
+    scale = hd ** -0.5
+    for lp, lc in zip(params["decoder_layers"], cache):
+        p = lp["self_attn"]
+        q = ((jnp.dot(x, p["q_kernel"]) + p["q_bias"]) * scale
+             ).reshape(B, 1, heads, hd)
+        k_new = (jnp.dot(x, p["k_kernel"]) + p["k_bias"]).reshape(
+            B, 1, heads, hd)
+        v_new = (jnp.dot(x, p["v_kernel"]) + p["v_bias"]).reshape(
+            B, 1, heads, hd)
+        sk = jax.lax.dynamic_update_slice(lc["self_k"], k_new,
+                                          (0, t, 0, 0))
+        sv = jax.lax.dynamic_update_slice(lc["self_v"], v_new,
+                                          (0, t, 0, 0))
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, sk,
+                       preferred_element_type=jnp.float32) + self_bias
+        a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", a, sv).reshape(B, 1, -1)
+        attn = jnp.dot(ctx, p["o_kernel"]) + p["o_bias"]
+        x = _layer_norm(x + attn, lp["self_ln"])
+
+        pc = lp["cross_attn"]
+        qc = ((jnp.dot(x, pc["q_kernel"]) + pc["q_bias"]) * scale
+              ).reshape(B, 1, heads, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qc, lc["cross_k"],
+                       preferred_element_type=jnp.float32) + cross_bias
+        a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", a, lc["cross_v"]
+                         ).reshape(B, 1, -1)
+        cross = jnp.dot(ctx, pc["o_kernel"]) + pc["o_bias"]
+        x = _layer_norm(x + cross, lp["cross_ln"])
+        x = _layer_norm(x + _ffn(x, lp), lp["final_ln"])
+        new_cache.append({"self_k": sk, "self_v": sv,
+                          "cross_k": lc["cross_k"],
+                          "cross_v": lc["cross_v"]})
+    logits = jnp.dot(x[:, 0].astype(jnp.float32),
+                     params["shared_embedding"].astype(jnp.float32).T)
+    return logits + params["final_logits_bias"], new_cache
+
+
+def _embed_at(params, cfg, tok, t):
+    x = params["shared_embedding"][tok][:, None, :].astype(
+        cfg.compute_dtype)
+    if cfg.scale_embedding:
+        x = x * math.sqrt(cfg.d_model)
+    pos = jnp.asarray(sinusoidal_positions(
+        cfg.max_position_embeddings, cfg.d_model))
+    return x + jax.lax.dynamic_slice_in_dim(pos, t, 1, axis=0
+                                            )[None].astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def greedy_generate_cached(params: Params, cfg: MarianConfig, input_ids,
+                           attention_mask, max_new_tokens: int = 64
+                           ) -> jnp.ndarray:
+    """KV-cached greedy decode: O(T) attention work per step instead of
+    the O(T^2) full-prefix re-decode in ``greedy_generate`` (kept as the
+    equivalence oracle)."""
+    B = input_ids.shape[0]
+    enc_out = encode(params, cfg, input_ids, attention_mask)
+    cache = init_decode_cache(params, cfg, enc_out, B, max_new_tokens + 1)
+
+    def step(carry, t):
+        tok, cache, done = carry
+        logits, cache = decode_step(params, cfg, tok, t, cache,
+                                    attention_mask)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return (nxt, cache, done), nxt
+
+    start = jnp.full((B,), cfg.decoder_start_token_id, jnp.int32)
+    _, out = jax.lax.scan(step, (start, cache, jnp.zeros((B,), bool)),
+                          jnp.arange(max_new_tokens))
+    return out.T  # [B, max_new_tokens]

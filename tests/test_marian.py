@@ -201,3 +201,36 @@ class TestBeamSearch:
             max_new_tokens=8))
         for i in range(3):
             assert seq_logprob(beam[i]) >= seq_logprob(greedy[i]) - 1e-4
+
+
+class TestCachedDecode:
+    def test_matches_uncached_greedy(self, pair):
+        """The KV-cached incremental decoder must reproduce the
+        full-prefix re-decode token for token (ragged masks included)."""
+        _, params, cfg = pair
+        ids, mask = batch(cfg, seed=11, B=4, L=10)
+        a = np.asarray(marian.greedy_generate(
+            params, cfg, jnp.array(ids), jnp.array(mask),
+            max_new_tokens=12))
+        b = np.asarray(marian.greedy_generate_cached(
+            params, cfg, jnp.array(ids), jnp.array(mask),
+            max_new_tokens=12))
+        np.testing.assert_array_equal(a, b)
+
+    def test_decode_step_matches_teacher_forced(self, pair):
+        """Stepwise logits == the teacher-forced decoder at each
+        position."""
+        _, params, cfg = pair
+        ids, mask = batch(cfg, seed=12, B=3, L=8)
+        ids, mask = ids[:2], mask[:2]
+        dec = np.asarray([[98, 5, 7, 9, 2], [98, 4, 3, 2, 1]], np.int32)
+        enc = marian.encode(params, cfg, jnp.array(ids), jnp.array(mask))
+        ref = np.asarray(marian.decode(params, cfg, jnp.array(dec), enc,
+                                       jnp.array(mask)))
+        cache = marian.init_decode_cache(params, cfg, enc, 2, 5)
+        for t in range(5):
+            logits, cache = marian.decode_step(
+                params, cfg, jnp.array(dec[:, t]), t, cache,
+                jnp.array(mask))
+            np.testing.assert_allclose(np.asarray(logits), ref[:, t],
+                                       rtol=2e-4, atol=2e-4)
