@@ -466,6 +466,8 @@ def init_decode_cache(params: Params, cfg: MarianConfig, enc_out,
     cache = []
     for lp in params["decoder_layers"]:
         ck, cv = _mha_proj_kv(enc_out, lp["cross_attn"], heads)
+        ck = ck.astype(cfg.compute_dtype)
+        cv = cv.astype(cfg.compute_dtype)
         cache.append({
             "self_k": jnp.zeros((batch, max_len, heads, hd),
                                 cfg.compute_dtype),
@@ -497,9 +499,9 @@ def decode_step(params: Params, cfg: MarianConfig, tok, t, cache,
         q = ((jnp.dot(x, p["q_kernel"]) + p["q_bias"]) * scale
              ).reshape(B, 1, heads, hd)
         k_new = (jnp.dot(x, p["k_kernel"]) + p["k_bias"]).reshape(
-            B, 1, heads, hd)
+            B, 1, heads, hd).astype(lc["self_k"].dtype)
         v_new = (jnp.dot(x, p["v_kernel"]) + p["v_bias"]).reshape(
-            B, 1, heads, hd)
+            B, 1, heads, hd).astype(lc["self_v"].dtype)
         sk = jax.lax.dynamic_update_slice(lc["self_k"], k_new,
                                           (0, t, 0, 0))
         sv = jax.lax.dynamic_update_slice(lc["self_v"], v_new,
