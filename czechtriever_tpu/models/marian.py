@@ -354,7 +354,10 @@ def beam_search_generate(params: Params, cfg: MarianConfig, input_ids,
       * early_stopping=True: a row freezes once num_beams hypotheses
         finished;
       * rows with no finished hypothesis fall back to the live beams
-        (HF finalize).
+        (HF finalize);
+      * decoding is KV-cached: one incremental decode_step per step over
+        the flattened beam batch, with cache rows re-gathered to follow
+        the surviving beams.
 
     Returns [B, max_new_tokens] token ids (pad after EOS).
     """
@@ -375,13 +378,18 @@ def beam_search_generate(params: Params, cfg: MarianConfig, input_ids,
     fin_seqs = jnp.full((B, nb, T + 1), cfg.pad_token_id, jnp.int32)
     fin_scores = jnp.full((B, nb), NEG)
     fin_count = jnp.zeros((B,), jnp.int32)
+    # KV cache over the flattened beam batch; rows are re-gathered to
+    # follow each step's selected source beams
+    kv = init_decode_cache(params, cfg, enc_b, B * nb, T + 1)
 
     def step(carry, t):
-        buf, beam_scores, fin_seqs, fin_scores, fin_count = carry
+        buf, beam_scores, fin_seqs, fin_scores, fin_count, kv = carry
         done_row = fin_count >= nb                        # early_stopping
 
-        logits = decode(params, cfg, buf.reshape(B * nb, T + 1), enc_b,
-                        mask_b)[:, t]
+        last_tok = jnp.take_along_axis(
+            buf, jnp.full((B, nb, 1), t, jnp.int32), axis=2)[:, :, 0]
+        logits, kv = decode_step(params, cfg,
+                                 last_tok.reshape(B * nb), t, kv, mask_b)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         cand = beam_scores[:, :, None] + logp.reshape(B, nb, V)
         top_v, top_i = jax.lax.top_k(cand.reshape(B, nb * V), 2 * nb)
@@ -389,7 +397,8 @@ def beam_search_generate(params: Params, cfg: MarianConfig, input_ids,
         srcs = (top_i // V).astype(jnp.int32)
 
         def fill(fc, xs):
-            nbuf, nscores, nfilled, f_seqs, f_scores, f_count = fc
+            (nbuf, nscores, nfilled, f_seqs, f_scores, f_count,
+             nsrc) = fc
             rank, cv, ct, cs = xs                         # [B] each
             prefix = buf[rows, cs]                        # [B, T+1]
             is_eos = ct == cfg.eos_token_id
@@ -414,23 +423,36 @@ def beam_search_generate(params: Params, cfg: MarianConfig, input_ids,
                                     == pslot[:, None])
             nbuf = jnp.where(sel[:, :, None], new_row[:, None, :], nbuf)
             nscores = jnp.where(sel, cv[:, None], nscores)
+            nsrc = jnp.where(sel, cs[:, None], nsrc)
             nfilled = nfilled + place.astype(jnp.int32)
             return (nbuf, nscores, nfilled, f_seqs, f_scores,
-                    f_count), None
+                    f_count, nsrc), None
 
         init = (buf, beam_scores, jnp.zeros((B,), jnp.int32),
-                fin_seqs, fin_scores, fin_count)
+                fin_seqs, fin_scores, fin_count,
+                jnp.zeros((B, nb), jnp.int32))
         ranks = jnp.broadcast_to(jnp.arange(2 * nb)[:, None], (2 * nb, B))
-        (nbuf, nscores, _, fin_seqs, fin_scores, fin_count), _ = \
+        (nbuf, nscores, _, fin_seqs, fin_scores, fin_count, nsrc), _ = \
             jax.lax.scan(fill, init, (ranks, top_v.T, toks.T, srcs.T))
 
         buf = jnp.where(done_row[:, None, None], buf, nbuf)
         beam_scores = jnp.where(done_row[:, None], beam_scores, nscores)
-        return (buf, beam_scores, fin_seqs, fin_scores, fin_count), None
 
-    carry = (buf, beam_scores, fin_seqs, fin_scores, fin_count)
-    (buf, beam_scores, fin_seqs, fin_scores, fin_count), _ = jax.lax.scan(
-        step, carry, jnp.arange(T))
+        # re-gather cache rows to follow the surviving beams. nsrc[b, j]
+        # is the source beam of new beam j (frozen rows keep identity).
+        ident = jnp.broadcast_to(jnp.arange(nb)[None], (B, nb))
+        gather_src = jnp.where(done_row[:, None], ident, nsrc)
+        flat_idx = (jnp.arange(B)[:, None] * nb + gather_src).reshape(-1)
+        kv = [{"self_k": lc["self_k"][flat_idx],
+               "self_v": lc["self_v"][flat_idx],
+               "cross_k": lc["cross_k"], "cross_v": lc["cross_v"]}
+              for lc in kv]
+        return (buf, beam_scores, fin_seqs, fin_scores, fin_count,
+                kv), None
+
+    carry = (buf, beam_scores, fin_seqs, fin_scores, fin_count, kv)
+    (buf, beam_scores, fin_seqs, fin_scores, fin_count, _), _ = \
+        jax.lax.scan(step, carry, jnp.arange(T))
 
     # finalize: rows with no finished hypothesis use the best live beam
     live_score = beam_scores / (jnp.float32(T + 1) ** length_penalty)
