@@ -403,17 +403,23 @@ def beam_search_generate(params: Params, cfg: MarianConfig, input_ids,
             prefix = buf[rows, cs]                        # [B, T+1]
             is_eos = ct == cfg.eos_token_id
 
-            # finished insert (HF: only EOS candidates ranked < nb)
-            can_fin = is_eos & (rank < nb) & (f_count < nb) & ~done_row
-            slot = jnp.clip(f_count, 0, nb - 1)
-            # hypothesis length = prefix tokens incl decoder_start = t+1
+            # finished insert (HF: only EOS candidates ranked < nb;
+            # BeamHypotheses.add replaces the worst stored hypothesis
+            # when the set is full and the candidate scores higher)
             f_new = cv / (jnp.float32(t + 1) ** length_penalty)
+            worst = jnp.argmin(f_scores, axis=1)
+            full = f_count >= nb
+            slot = jnp.where(full, worst, jnp.clip(f_count, 0, nb - 1))
+            better = f_new > f_scores[rows, worst]
+            can_fin = (is_eos & (rank < nb) & ~done_row
+                       & (~full | better))
             write = can_fin[:, None] & (jnp.arange(nb)[None]
                                         == slot[:, None])
             f_seqs = jnp.where(write[:, :, None], prefix[:, None, :],
                                f_seqs)
             f_scores = jnp.where(write, f_new[:, None], f_scores)
-            f_count = f_count + can_fin.astype(jnp.int32)
+            f_count = jnp.minimum(f_count + can_fin.astype(jnp.int32),
+                                  nb)
 
             # live-beam refill with non-EOS candidates, in rank order
             place = (~is_eos) & (nfilled < nb) & ~done_row
