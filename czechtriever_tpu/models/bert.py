@@ -226,31 +226,33 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
     def proj(h, kernel, b):
         return jnp.dot(h, kernel.astype(dt), preferred_element_type=dt) + b.astype(dt)
 
-    q = proj(x, lp["q_kernel"], lp["q_bias"]).reshape(B, L, H, hd)
-    k = proj(x, lp["k_kernel"], lp["k_bias"]).reshape(B, L, H, hd)
-    v = proj(x, lp["v_kernel"], lp["v_bias"]).reshape(B, L, H, hd)
+    q = proj(x, lp["q_kernel"], lp["q_bias"])
+    k = proj(x, lp["k_kernel"], lp["k_bias"])
+    v = proj(x, lp["v_kernel"], lp["v_bias"])
 
     rate = cfg.attention_probs_dropout_prob
     attn_rng = rngs.get("attn")
     use_flash = cfg.attention_impl == "flash" or (
         cfg.attention_impl == "auto" and jax.default_backend() == "tpu")
     if use_flash:
+        # the kernel consumes the projection-natural [B, L, H*hd] layout
+        # directly — no head transpose copies (see ops/attention.py)
         from czechtriever_tpu.ops import attention as attn_ops
         det = deterministic or rate == 0.0 or attn_rng is None
         seed = (jax.random.bits(attn_rng, (), "uint32").astype(jnp.int32)
                 if not det else jnp.int32(0))
-        ctx = attn_ops.flash_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), bias, seed, rate, det)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
+        ctx = attn_ops.flash_attention(q, k, v, bias, seed, H, rate, det)
     else:
         # scores in f32 for a stable softmax
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        qh = q.reshape(B, L, H, hd)
+        kh = k.reshape(B, L, H, hd)
+        vh = v.reshape(B, L, H, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(hd) + bias[:, None, None, :]
         probs = jax.nn.softmax(scores, axis=-1)
         probs = _dropout(probs, rate, attn_rng, deterministic).astype(dt)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
                          preferred_element_type=dt).reshape(B, L, D)
     attn_out = proj(ctx, lp["attn_out_kernel"], lp["attn_out_bias"])
     attn_out = _dropout(attn_out, cfg.hidden_dropout_prob,

@@ -12,12 +12,19 @@ it is the step's bottleneck:
   * threefry dropout-mask generation costs ~30 ms per forward.
 
 ``flash_attention`` fixes all three TPU-natively: one Pallas program per
-(batch, head) computes softmax(QK^T/sqrt(d) + bias) @ V entirely in VMEM
+batch element computes softmax(QK^T/sqrt(d) + bias) @ V entirely in VMEM
 (L=256 tiles: a [256,256] f32 score tile is 256 KB), applies attention
 dropout with the on-core hardware PRNG (pltpu.prng_*), and saves only
 (m, l) softmax stats [B,H,L] for the backward, which regenerates the
 identical dropout mask from the same seed instead of storing it. A
 custom VJP computes dQ/dK/dV in a second fused kernel.
+
+Layout: the kernels consume q/k/v in the **projection-natural
+``[B, L, H*D]`` layout** and slice each head's ``[L, D]`` pane at a lane
+offset inside VMEM. The first version took ``[B, H, L, D]``, which
+forced four XLA relayout copies per encoder layer
+([B,L,H,D] -> [B,H,L,D] for q/k/v and back for the output) — ~38 ms/step
+of pure copy traffic in the v5e profile at B=32 x accum 8.
 
 Numerics: scores/softmax in f32 (matching the naive path), probs cast to
 the compute dtype for the @V matmul (also matching). Dropout semantics:
@@ -75,18 +82,22 @@ def _keep_mask(seed, rate: float, shape):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref,
-                l_ref, *, rate: float, deterministic: bool):
+                l_ref, *, n_heads: int, rate: float, deterministic: bool):
     # one program per batch element; the head loop is unrolled inside it
     # (one program per (b,h) was 5x slower: per-program dispatch overhead
-    # dominated the tiny [L,L]x[L,D] matmuls)
-    H = q_ref.shape[1]
+    # dominated the tiny [L,L]x[L,D] matmuls). Refs are [1, L, H*D]; each
+    # head is a [L, D] lane-offset pane.
+    H = n_heads
+    D = q_ref.shape[-1] // H
     b = pl.program_id(0)
     bias_row = bias_ref[0, 0][None, :]
     for h in range(H):
-        q = q_ref[0, h].astype(jnp.float32)       # [L, D]
-        k = k_ref[0, h].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        s = s * (1.0 / math.sqrt(q.shape[-1])) + bias_row
+        cols = slice(h * D, (h + 1) * D)
+        q = q_ref[0, :, cols].astype(jnp.float32)       # [L, D]
+        k = k_ref[0, :, cols].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(D)) + bias_row
         m = jnp.max(s, axis=-1)                   # [L]
         p = jnp.exp(s - m[:, None])
         l = jnp.sum(p, axis=-1)                   # [L]
@@ -94,26 +105,29 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref,
         if not deterministic and rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-        o_ref[0, h] = jnp.dot(p.astype(v_ref.dtype), v_ref[0, h],
-                              preferred_element_type=jnp.float32
-                              ).astype(o_ref.dtype)
+        o_ref[0, :, cols] = jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0, :, cols],
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
         m_ref[0, h] = m
         l_ref[0, h] = l
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, m_ref, l_ref,
-                do_ref, dq_ref, dk_ref, dv_ref, *, rate: float,
-                deterministic: bool):
-    scale = 1.0 / math.sqrt(q_ref.shape[-1])
-    H = q_ref.shape[1]
+                do_ref, dq_ref, dk_ref, dv_ref, *, n_heads: int,
+                rate: float, deterministic: bool):
+    H = n_heads
+    D = q_ref.shape[-1] // H
+    scale = 1.0 / math.sqrt(D)
     b = pl.program_id(0)
     bias_row = bias_ref[0, 0][None, :]
     for h in range(H):
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        do = do_ref[0, h].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        cols = slice(h * D, (h + 1) * D)
+        q = q_ref[0, :, cols].astype(jnp.float32)
+        k = k_ref[0, :, cols].astype(jnp.float32)
+        v = v_ref[0, :, cols].astype(jnp.float32)
+        do = do_ref[0, :, cols].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         s = s * scale + bias_row
         p = jnp.exp(s - m_ref[0, h][:, None]) / l_ref[0, h][:, None]
 
@@ -121,24 +135,28 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, m_ref, l_ref,
             keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
             inv = 1.0 / (1.0 - rate)
             pd = jnp.where(keep, p * inv, 0.0)   # dropped probs (fwd value)
-            dv_ref[0, h] = jnp.dot(pd.T.astype(do_ref.dtype), do,
-                                   preferred_element_type=jnp.float32
-                                   ).astype(dv_ref.dtype)
+            # dv = P^T dO: contract over the query dim, no transpose needed
+            dv_ref[0, :, cols] = jax.lax.dot_general(
+                pd, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
             dpd = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
             dp = jnp.where(keep, dpd * inv, 0.0)
         else:
-            dv_ref[0, h] = jnp.dot(p.T.astype(do_ref.dtype), do,
-                                   preferred_element_type=jnp.float32
-                                   ).astype(dv_ref.dtype)
+            dv_ref[0, :, cols] = jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
             dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
 
         # softmax vjp: dS = P * (dP - sum(dP * P, axis=-1))
         row = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = p * (dp - row)
-        dq_ref[0, h] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                        * scale).astype(dq_ref.dtype)
-        dk_ref[0, h] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
-                        * scale).astype(dk_ref.dtype)
+        dq_ref[0, :, cols] = (
+            jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, cols] = (
+            jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            * scale).astype(dk_ref.dtype)
 
 
 def _pad_l(x, L_pad, axis):
@@ -150,116 +168,124 @@ def _pad_l(x, L_pad, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def flash_attention(q, k, v, bias, seed, dropout_rate: float = 0.0,
-                    deterministic: bool = True):
-    """Fused attention. q,k,v: [B,H,L,D]; bias: [B,L] f32 additive on
-    keys (0 for real tokens, -1e30 for pads); seed: int32 scalar driving
-    the attention-dropout PRNG."""
-    o, _, _ = _flash_fwd(q, k, v, bias, seed, dropout_rate, deterministic)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention(q, k, v, bias, seed, n_heads: int,
+                    dropout_rate: float = 0.0, deterministic: bool = True):
+    """Fused attention. q,k,v: [B, L, H*D] (projection-natural layout);
+    bias: [B,L] f32 additive on keys (0 for real tokens, -1e30 for pads);
+    seed: int32 scalar driving the attention-dropout PRNG. Returns
+    [B, L, H*D] in q.dtype."""
+    o, _, _ = _flash_fwd(q, k, v, bias, seed, n_heads, dropout_rate,
+                         deterministic)
     return o
 
 
-def _flash_call(q, k, v, bias, seed, rate, deterministic, interpret=False):
-    B, H, L, D = q.shape
+def _flash_call(q, k, v, bias, seed, n_heads, rate, deterministic,
+                interpret=False):
+    B, L, HD = q.shape
+    H = n_heads
     L_pad = -(-L // LANE) * LANE
-    qp = _pad_l(q, L_pad, 2)
-    kp = _pad_l(k, L_pad, 2)
-    vp = _pad_l(v, L_pad, 2)
+    qp = _pad_l(q, L_pad, 1)
+    kp = _pad_l(k, L_pad, 1)
+    vp = _pad_l(v, L_pad, 1)
     # padded keys must never win the softmax
     biasp = _pad_l(bias, L_pad, 1) + jnp.where(
         jnp.arange(L_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
     biasp = biasp[:, None, :]  # [B, 1, L_pad]: TPU block rule needs the
     # last-two block dims to divide (8,128) or equal the array dims
+    if seed is None:
+        seed = jnp.int32(0)
 
-    kern = functools.partial(_fwd_kernel, rate=rate,
+    kern = functools.partial(_fwd_kernel, n_heads=H, rate=rate,
                              deterministic=deterministic)
     o, m, l = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, L_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, HD), q.dtype),
             jax.ShapeDtypeStruct((B, H, L_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, H, L_pad), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, biasp)
-    return o[:, :, :L], m, l, (qp, kp, vp, biasp, L_pad)
+    return o[:, :L], m, l
 
 
-def _flash_fwd(q, k, v, bias, seed, rate, deterministic):
-    o, m, l, _ = _flash_call(q, k, v, bias, seed, rate, deterministic)
-    return o, m, l
+def _flash_fwd(q, k, v, bias, seed, n_heads, rate, deterministic):
+    return _flash_call(q, k, v, bias, seed, n_heads, rate, deterministic)
 
 
-def _flash_fwd_vjp(q, k, v, bias, seed, rate, deterministic):
-    o, m, l, _ = _flash_call(q, k, v, bias, seed, rate, deterministic)
+def _flash_fwd_vjp(q, k, v, bias, seed, n_heads, rate, deterministic):
+    o, m, l = _flash_call(q, k, v, bias, seed, n_heads, rate, deterministic)
     return o, (q, k, v, bias, seed, m, l)
 
 
-def _flash_bwd_vjp(rate, deterministic, res, g):
+def _flash_bwd_vjp(n_heads, rate, deterministic, res, g):
     q, k, v, bias, seed, m, l = res
-    B, H, L, D = q.shape
+    B, L, HD = q.shape
+    H = n_heads
     L_pad = m.shape[-1]
-    qp = _pad_l(q, L_pad, 2)
-    kp = _pad_l(k, L_pad, 2)
-    vp = _pad_l(v, L_pad, 2)
+    qp = _pad_l(q, L_pad, 1)
+    kp = _pad_l(k, L_pad, 1)
+    vp = _pad_l(v, L_pad, 1)
     biasp = _pad_l(bias, L_pad, 1) + jnp.where(
         jnp.arange(L_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
     biasp = biasp[:, None, :]
-    gp = _pad_l(g, L_pad, 2)
+    gp = _pad_l(g, L_pad, 1)
+    if seed is None:
+        seed = jnp.int32(0)
     # guard the padded rows of l against division by zero
     l = jnp.where(l == 0.0, 1.0, l)
 
-    kern = functools.partial(_bwd_kernel, rate=rate,
+    kern = functools.partial(_bwd_kernel, n_heads=H, rate=rate,
                              deterministic=deterministic)
     dq, dk, dv = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L_pad, D), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, L_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, L_pad, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, L_pad, D), v.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, HD), v.dtype),
         ],
         interpret=False,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, biasp, m, l, gp)
-    return (dq[:, :, :L], dk[:, :, :L], dv[:, :, :L],
-            jnp.zeros_like(bias), jnp.zeros_like(seed))
+    return (dq[:, :L], dk[:, :L], dv[:, :L], jnp.zeros_like(bias),
+            jnp.zeros_like(seed))
 
 
 flash_attention.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
 
 
-def flash_attention_interpret(q, k, v, bias, seed, dropout_rate=0.0,
-                              deterministic=True):
+def flash_attention_interpret(q, k, v, bias, seed=None, n_heads=1,
+                              dropout_rate=0.0, deterministic=True):
     """Interpret-mode forward for CPU tests of the kernel body."""
-    o, _, _, _ = _flash_call(q, k, v, bias, seed, dropout_rate,
-                             deterministic, interpret=True)
+    o, _, _ = _flash_call(q, k, v, bias, seed, n_heads, dropout_rate,
+                          deterministic, interpret=True)
     return o

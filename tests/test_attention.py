@@ -2,7 +2,11 @@
 
 CPU: interpret-mode forward vs the naive XLA path (deterministic), VJP
 vs jax.grad of the naive path, padding/mask handling. TPU (-m tpu):
-compiled-kernel exactness and dropout statistics on the real chip."""
+compiled-kernel exactness and dropout statistics on the real chip.
+
+The kernel consumes the projection-natural [B, L, H*D] layout; the naive
+XLA reference path takes [B, H, L, D], so these tests reshape between
+the two."""
 
 import functools
 import math
@@ -16,7 +20,8 @@ from czechtriever_tpu.ops import attention as A
 
 
 def make_qkv(rng, B, H, L, D, dtype=jnp.float32):
-    q, k, v = (jnp.asarray(rng.normal(size=(B, H, L, D)), dtype)
+    """Returns q,k,v in the kernel's flat [B, L, H*D] layout + key bias."""
+    q, k, v = (jnp.asarray(rng.normal(size=(B, L, H * D)), dtype)
                for _ in range(3))
     mask = np.ones((B, L), np.int32)
     mask[:, -3:] = 0
@@ -25,14 +30,24 @@ def make_qkv(rng, B, H, L, D, dtype=jnp.float32):
     return q, k, v, bias
 
 
+def naive_flat(q, k, v, bias, H, **kw):
+    """naive_attention on flat [B, L, H*D] inputs."""
+    B, L, HD = q.shape
+    D = HD // H
+    def split(x):
+        return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+    o = A.naive_attention(split(q), split(k), split(v), bias, **kw)
+    return o.transpose(0, 2, 1, 3).reshape(B, L, HD)
+
+
 class TestInterpret:
     @pytest.mark.parametrize("L", [64, 256, 130])  # 130: non-lane-multiple
     def test_forward_matches_naive(self, L):
         rng = np.random.default_rng(0)
         q, k, v, bias = make_qkv(rng, 2, 3, L, 32)
-        ref = A.naive_attention(q, k, v, bias, deterministic=True)
+        ref = naive_flat(q, k, v, bias, 3, deterministic=True)
         out = A.flash_attention_interpret(q, k, v, bias, jnp.int32(0),
-                                          0.0, True)
+                                          n_heads=3)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
 
@@ -41,7 +56,7 @@ class TestInterpret:
         q, k, v, _ = make_qkv(rng, 1, 2, 64, 16)
         bias = jnp.full((1, 64), -1e30, jnp.float32)  # every key masked
         out = A.flash_attention_interpret(q, k, v, bias, jnp.int32(0),
-                                          0.0, True)
+                                          n_heads=2)
         assert np.isfinite(np.asarray(out)).all()
 
 
@@ -53,9 +68,8 @@ class TestOnChip:
     def test_forward_matches_naive_f32(self):
         rng = np.random.default_rng(0)
         q, k, v, bias = make_qkv(rng, 4, 12, 256, 64)
-        ref = A.naive_attention(q, k, v, bias, deterministic=True)
-        out = jax.jit(functools.partial(A.flash_attention, dropout_rate=0.0,
-                                        deterministic=True))(
+        ref = naive_flat(q, k, v, bias, 12, deterministic=True)
+        out = jax.jit(functools.partial(A.flash_attention, n_heads=12))(
             q, k, v, bias, jnp.int32(0))
         # XLA's fused softmax/exp vs the kernel's differ in the last ulps
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -66,12 +80,12 @@ class TestOnChip:
         q, k, v, bias = make_qkv(rng, 2, 4, 128, 32)
 
         def loss_flash(q, k, v):
-            return (A.flash_attention(q, k, v, bias, jnp.int32(0), 0.0,
-                                      True) ** 2).sum()
+            return (A.flash_attention(q, k, v, bias, jnp.int32(0),
+                                      4) ** 2).sum()
 
         def loss_naive(q, k, v):
-            return (A.naive_attention(q, k, v, bias,
-                                      deterministic=True) ** 2).sum()
+            return (naive_flat(q, k, v, bias, 4,
+                               deterministic=True) ** 2).sum()
 
         gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
         gn = jax.jit(jax.grad(loss_naive, argnums=(0, 1, 2)))(q, k, v)
@@ -87,8 +101,8 @@ class TestOnChip:
         magnitudes preserved in expectation."""
         rng = np.random.default_rng(3)
         q, k, v, bias = make_qkv(rng, 2, 4, 128, 32)
-        f = jax.jit(functools.partial(A.flash_attention, dropout_rate=0.5,
-                                      deterministic=False))
+        f = jax.jit(functools.partial(A.flash_attention, n_heads=4,
+                                      dropout_rate=0.5, deterministic=False))
         o1 = f(q, k, v, bias, jnp.int32(7))
         o2 = f(q, k, v, bias, jnp.int32(7))
         o3 = f(q, k, v, bias, jnp.int32(8))
@@ -96,10 +110,9 @@ class TestOnChip:
         assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-6
         # expectation: E[dropout(P)] = P -> mean output close to no-dropout
         o_det = jax.jit(functools.partial(
-            A.flash_attention, dropout_rate=0.0, deterministic=True))(
-            q, k, v, bias, jnp.int32(0))
-        real = np.asarray(o1)[:, :, :125]
-        det = np.asarray(o_det)[:, :, :125]
+            A.flash_attention, n_heads=4))(q, k, v, bias, jnp.int32(0))
+        real = np.asarray(o1)[:, :125]
+        det = np.asarray(o_det)[:, :125]
         corr = np.corrcoef(real.ravel(), det.ravel())[0, 1]
         assert corr > 0.5
 
@@ -113,13 +126,14 @@ class TestOnChip:
         c = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
 
         def f(vx):
-            return (A.flash_attention(q, k, vx, bias, jnp.int32(11), 0.3,
-                                      False) * c).sum()
+            return (A.flash_attention(q, k, vx, bias, jnp.int32(11), 2,
+                                      0.3, False) * c).sum()
 
         g = jax.jit(jax.grad(f))(v)
-        d = jnp.zeros_like(v).at[0, 1, 5, 7].set(1.0)
+        # head 1, position 5, in-head feature 7 -> flat column 32+7
+        d = jnp.zeros_like(v).at[0, 5, 39].set(1.0)
         exact = jax.jit(f)(v + d) - jax.jit(f)(v)
-        assert abs(float(exact) - float(g[0, 1, 5, 7])) < 5e-2 * max(
+        assert abs(float(exact) - float(g[0, 5, 39])) < 5e-2 * max(
             1.0, abs(float(exact)))
         # and the grad is nonzero (mask kept ~70% of entries)
         assert float(jnp.abs(g).max()) > 1e-4
