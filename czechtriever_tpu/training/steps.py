@@ -49,6 +49,37 @@ def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
 
 
+def cast_layer_params(params, dtype) -> Any:
+    """Cast the per-layer weights to the compute dtype ONCE per step.
+
+    bert.py casts each kernel to bf16 inside the layer scan, so every
+    pass over the encoder re-reads the f32 master weights from HBM and
+    the scan AD accumulates the stacked per-layer weight gradients in
+    f32 buffers (the profiler showed ~40 ms/step of f32
+    dynamic-update-slice fusions at B=32 x accum 8). Differentiating
+    w.r.t. an already-bf16 tree instead is numerically identical — the
+    wgrad matmuls produce bf16-rounded values either way (the dots run
+    with preferred_element_type = compute dtype) and the cast VJP is a
+    plain upcast — but halves the weight-read traffic and makes the
+    stacked grad buffers bf16. Gradients are then accumulated across
+    microbatches into the f32 ``zeros_like(params)`` sum, and the
+    optimizer still updates the f32 masters.
+
+    Embeddings stay f32: their wgrad is a scatter-ADD over repeated
+    token ids, where bf16 accumulation genuinely loses mantissa.
+    """
+    if jnp.dtype(dtype) == jnp.float32:
+        return params
+    return {**params,
+            "layers": jax.tree.map(lambda p: p.astype(dtype),
+                                   params["layers"])}
+
+
+def upcast_grads(grads, params) -> Any:
+    """Match gradient dtypes to the f32 master params for optax."""
+    return jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
+
+
 def per_param_grad_norms(grads) -> Stats:
     """Per-parameter gradient norms (reference train.py:295-309 logs one
     scalar per named parameter). With scan-stacked layers each entry
@@ -74,6 +105,8 @@ def make_inbatch_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
         rng = jax.random.fold_in(rng, state.step)
         A = batch["q_tokens"].shape[0]
         micro_rngs = jax.random.split(rng, A)
+        # differentiate w.r.t. the bf16 layer weights (see cast_layer_params)
+        params_c = cast_layer_params(state.params, mcfg.compute_dtype)
 
         def loss_fn(params, mb, mrng):
             qr, kr = jax.random.split(mrng)
@@ -95,7 +128,8 @@ def make_inbatch_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
         def micro(grad_sum, xs):
             mb, mrng = xs
             (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, mb, mrng)
+                params_c, mb, mrng)
+            # f32 sum += bf16 microbatch grads (promoting add)
             grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
             return grad_sum, stats
 
@@ -137,6 +171,7 @@ def make_inbatch_gradcache_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
         A, B = batch["q_tokens"].shape[:2]
         micro_rngs = jax.random.split(rng, A)
         mbs = dict(batch)
+        params_c = cast_layer_params(state.params, mcfg.compute_dtype)
 
         def enc_pair(params, mb, mrng):
             qr, kr = jax.random.split(mrng)
@@ -153,7 +188,7 @@ def make_inbatch_gradcache_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
         # pass 1: representation-only forward
         def fwd_micro(_, xs):
             mb, mrng = xs
-            return None, enc_pair(state.params, mb, mrng)
+            return None, enc_pair(params_c, mb, mrng)
 
         _, (qs, ks) = jax.lax.scan(fwd_micro, None, (mbs, micro_rngs))
         D = qs.shape[-1]
@@ -173,7 +208,7 @@ def make_inbatch_gradcache_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
         def bwd_micro(grad_sum, xs):
             mb, mrng, gqi, gki = xs
             _, vjp_fn = jax.vjp(
-                lambda p: enc_pair(p, mb, mrng), state.params)
+                lambda p: enc_pair(p, mb, mrng), params_c)
             (g,) = vjp_fn((gqi, gki))
             return jax.tree.map(jnp.add, grad_sum, g), None
 
@@ -215,6 +250,7 @@ def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
         rng = jax.random.fold_in(rng, state.step)
         A = batch["q_tokens"].shape[0]
         micro_rngs = jax.random.split(rng, A)
+        params_qc = cast_layer_params(state.params_q, mcfg.compute_dtype)
 
         params_k_step = None
         if ema_every_step:
@@ -257,7 +293,7 @@ def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
             k = jax.lax.stop_gradient(k)
 
             (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params_q, k, queue, mb, qr)
+                params_qc, k, queue, mb, qr)
             grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
 
             # enqueue the *global* key batch (src/moco.py:272-287; the
