@@ -61,6 +61,13 @@ class Config:
     rho: float = 0.05  # SAM neighborhood size (finetuning.py:75-80)
     contrastive_mode: str = "moco"
     queue_size: int = 65536
+    # storage dtype of the MoCo negative queue. The queue holds
+    # L2-normalized key embeddings (activation data, not master
+    # weights): bf16 halves the [queue_size, 768] ring buffer's HBM
+    # footprint and lets the l_neg logits matmul run at bf16 MXU rate
+    # (the reference keeps a f32 torch buffer, src/moco.py:218-221 —
+    # pass --queue_dtype float32 for strict parity)
+    queue_dtype: str = "bfloat16"
     temperature: float = 1.0
     momentum: float = 0.999
     distill_weight: float = 0.5

@@ -327,14 +327,21 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
         return h, None
 
     if remat == "dots":
-        # selective remat: keep matmul outputs, recompute elementwise
-        # (LN, gelu, dropout, softmax) in the backward — near-no-remat
-        # FLOPs at a fraction of the saved-activation memory. (Also
-        # saving the flash-attention output via checkpoint_name measured
-        # slightly slower: the extra HBM writes cost more than the
-        # kernel re-forward.)
+        # selective remat: keep matmul outputs + the flash kernel's
+        # softmax stats, recompute elementwise (LN, gelu, dropout) in
+        # the backward — near-no-remat FLOPs at a fraction of the
+        # saved-activation memory. Saving the tiny (m, l) stats means
+        # the attention backward runs without re-executing the forward
+        # kernel (its other residuals, q/k/v, are dot outputs and thus
+        # already saved). Saving the full attention OUTPUT instead
+        # measured slightly slower: [B,L,D] extra HBM writes cost more
+        # than the kernel re-forward they avoid.
         body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.dots_saveable)
+            body,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "flash_stats")))
     elif remat:
         body = jax.checkpoint(body)
 

@@ -11,26 +11,32 @@ it is the step's bottleneck:
     reason the no-remat step OOMed at 33 GB);
   * threefry dropout-mask generation costs ~30 ms per forward.
 
-``flash_attention`` fixes all three TPU-natively: one Pallas program per
-batch element computes softmax(QK^T/sqrt(d) + bias) @ V entirely in VMEM
-(L=256 tiles: a [256,256] f32 score tile is 256 KB), applies attention
-dropout with the on-core hardware PRNG (pltpu.prng_*), and saves only
-(m, l) softmax stats [B,H,L] for the backward, which regenerates the
-identical dropout mask from the same seed instead of storing it. A
-custom VJP computes dQ/dK/dV in a second fused kernel.
+``flash_attention`` fixes all three TPU-natively: each Pallas program
+computes softmax(QK^T/sqrt(d) + bias) @ V entirely in VMEM for a group
+of heads (L=256 tiles: a [256,256] f32 score tile is 256 KB), applies
+attention dropout with the on-core hardware PRNG (pltpu.prng_*), and
+saves only (m, l) softmax stats [B,H,L] for the backward, which
+regenerates the identical dropout mask from the same seed instead of
+storing it. A custom VJP computes dQ/dK/dV in a second fused kernel.
 
-Layout: the kernels consume q/k/v in the **projection-natural
-``[B, L, H*D]`` layout** and slice each head's ``[L, D]`` pane at a lane
-offset inside VMEM. The first version took ``[B, H, L, D]``, which
-forced four XLA relayout copies per encoder layer
-([B,L,H,D] -> [B,H,L,D] for q/k/v and back for the output) — ~38 ms/step
-of pure copy traffic in the v5e profile at B=32 x accum 8.
+Layout and grid:
 
-Numerics: scores/softmax in f32 (matching the naive path), probs cast to
-the compute dtype for the @V matmul (also matching). Dropout semantics:
-keep-prob 1-p, kept values scaled by 1/(1-p) (torch parity); the mask
-*pattern* differs from jax.random.bernoulli, which only changes which
-random stream drives the regularization.
+  * operands are the **projection-natural ``[B, L, H*D]`` layout**; each
+    head is a [L, D] lane-offset pane inside the block. The first
+    version took [B, H, L, D], which forced four XLA relayout copies per
+    encoder layer (~38 ms/step of copy traffic at B=32 x accum 8).
+  * the grid is ``(B, head_groups)``: at small per-core batch a (B,)
+    grid leaves too few programs for Mosaic to pipeline (the per-head
+    matmuls are short dependency chains), and one program per (b, h)
+    drowns in dispatch overhead. ``head_groups`` must divide H and keep
+    the block width H*D/head_groups a multiple of the 128-lane tile.
+
+Numerics: MXU contractions run on the input dtype with f32 accumulation
+(bit-identical scores to upcasting bf16->f32 first, at several times the
+issue rate); softmax and its vjp stay f32. Dropout semantics: keep-prob
+1-p, kept values scaled by 1/(1-p) (torch parity); the mask *pattern*
+differs from jax.random.bernoulli, which only changes which random
+stream drives the regularization.
 """
 
 from __future__ import annotations
@@ -65,6 +71,22 @@ def naive_attention(q, k, v, bias, dropout_rate: float = 0.0,
                       preferred_element_type=dt)
 
 
+def _pick_head_groups(H: int, HD: int) -> int:
+    """Head-group count for the (B, G) grid. Swept on a v5e at
+    B=32, L=256, H=12: G=1 (one program per batch element, all heads
+    unrolled inside) = 477 pairs/s in the train bench, G=6 = 461, one
+    program per (b,h) = ~5x slower standalone — per-program dispatch
+    overhead beats any pipelining gain at these shapes, so the widest
+    grouping wins. CZT_ATTN_HEAD_GROUPS overrides for experiments."""
+    import os
+    override = os.environ.get("CZT_ATTN_HEAD_GROUPS")
+    if override:
+        g = int(override)
+        if H % g == 0 and (HD // g) % LANE == 0:
+            return g
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
@@ -82,74 +104,82 @@ def _keep_mask(seed, rate: float, shape):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref,
-                l_ref, *, n_heads: int, rate: float, deterministic: bool):
-    # one program per batch element; the head loop is unrolled inside it
-    # (one program per (b,h) was 5x slower: per-program dispatch overhead
-    # dominated the tiny [L,L]x[L,D] matmuls). Refs are [1, L, H*D]; each
-    # head is a [L, D] lane-offset pane.
-    H = n_heads
-    D = q_ref.shape[-1] // H
+                l_ref, *, heads_per_group: int, total_heads: int,
+                rate: float, deterministic: bool):
     b = pl.program_id(0)
+    g = pl.program_id(1)
+    D = q_ref.shape[-1] // heads_per_group
     bias_row = bias_ref[0, 0][None, :]
-    for h in range(H):
-        cols = slice(h * D, (h + 1) * D)
-        q = q_ref[0, :, cols].astype(jnp.float32)       # [L, D]
-        k = k_ref[0, :, cols].astype(jnp.float32)
+    for i in range(heads_per_group):
+        cols = slice(i * D, (i + 1) * D)
+        # MXU contractions on the input dtype with f32 accumulation:
+        # bit-identical to upcasting bf16->f32 first, several times faster
+        q = q_ref[0, :, cols]                           # [L, D]
+        k = k_ref[0, :, cols]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (1.0 / math.sqrt(D)) + bias_row
         m = jnp.max(s, axis=-1)                   # [L]
-        p = jnp.exp(s - m[:, None])
+        p = jnp.exp(s - m[:, None])               # unnormalized probs
         l = jnp.sum(p, axis=-1)                   # [L]
-        p = p / l[:, None]
         if not deterministic and rate > 0.0:
-            keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
+            h_global = g * heads_per_group + i
+            keep = _keep_mask(seed_ref[0] + b * total_heads + h_global,
+                              rate, p.shape)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-        o_ref[0, :, cols] = jnp.dot(
-            p.astype(v_ref.dtype), v_ref[0, :, cols],
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        m_ref[0, h] = m
-        l_ref[0, h] = l
+        # fold the 1/l softmax normalization into the [L, D] epilogue
+        # instead of dividing the [L, L] prob tile
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, cols],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, cols] = (o / l[:, None]).astype(o_ref.dtype)
+        m_ref[0, 0, i] = m
+        l_ref[0, 0, i] = l
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, m_ref, l_ref,
-                do_ref, dq_ref, dk_ref, dv_ref, *, n_heads: int,
-                rate: float, deterministic: bool):
-    H = n_heads
-    D = q_ref.shape[-1] // H
-    scale = 1.0 / math.sqrt(D)
+                do_ref, dq_ref, dk_ref, dv_ref, *, heads_per_group: int,
+                total_heads: int, rate: float, deterministic: bool):
     b = pl.program_id(0)
+    g = pl.program_id(1)
+    D = q_ref.shape[-1] // heads_per_group
+    scale = 1.0 / math.sqrt(D)
     bias_row = bias_ref[0, 0][None, :]
-    for h in range(H):
-        cols = slice(h * D, (h + 1) * D)
-        q = q_ref[0, :, cols].astype(jnp.float32)
-        k = k_ref[0, :, cols].astype(jnp.float32)
-        v = v_ref[0, :, cols].astype(jnp.float32)
-        do = do_ref[0, :, cols].astype(jnp.float32)
+    dt = q_ref.dtype
+    for i in range(heads_per_group):
+        cols = slice(i * D, (i + 1) * D)
+        q = q_ref[0, :, cols]
+        k = k_ref[0, :, cols]
+        v = v_ref[0, :, cols]
+        do = do_ref[0, :, cols]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * scale + bias_row
-        p = jnp.exp(s - m_ref[0, h][:, None]) / l_ref[0, h][:, None]
+        p = (jnp.exp(s - m_ref[0, 0, i][:, None])
+             / l_ref[0, 0, i][:, None])
 
         if not deterministic and rate > 0.0:
-            keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
+            h_global = g * heads_per_group + i
+            keep = _keep_mask(seed_ref[0] + b * total_heads + h_global,
+                              rate, p.shape)
             inv = 1.0 / (1.0 - rate)
             pd = jnp.where(keep, p * inv, 0.0)   # dropped probs (fwd value)
-            # dv = P^T dO: contract over the query dim, no transpose needed
+            # dv = P^T dO: contract over the query dim, no transpose
             dv_ref[0, :, cols] = jax.lax.dot_general(
-                pd, do, (((0,), (0,)), ((), ())),
+                pd.astype(dt), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-            dpd = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
             dp = jnp.where(keep, dpd * inv, 0.0)
         else:
             dv_ref[0, :, cols] = jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
+                p.astype(dt), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
 
         # softmax vjp: dS = P * (dP - sum(dP * P, axis=-1))
         row = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - row)
+        ds = (p * (dp - row)).astype(dt)
         dq_ref[0, :, cols] = (
             jnp.dot(ds, k, preferred_element_type=jnp.float32)
             * scale).astype(dq_ref.dtype)
@@ -184,6 +214,9 @@ def _flash_call(q, k, v, bias, seed, n_heads, rate, deterministic,
                 interpret=False):
     B, L, HD = q.shape
     H = n_heads
+    G = _pick_head_groups(H, HD)
+    hpg = H // G
+    W = HD // G                       # block width, 128-multiple
     L_pad = -(-L // LANE) * LANE
     qp = _pad_l(q, L_pad, 1)
     kp = _pad_l(k, L_pad, 1)
@@ -196,27 +229,30 @@ def _flash_call(q, k, v, bias, seed, n_heads, rate, deterministic,
     if seed is None:
         seed = jnp.int32(0)
 
-    kern = functools.partial(_fwd_kernel, n_heads=H, rate=rate,
+    kern = functools.partial(_fwd_kernel, heads_per_group=hpg,
+                             total_heads=H, rate=rate,
                              deterministic=deterministic)
     o, m, l = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B, G),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, 1, L_pad), lambda b, g: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            # stats are [B, G, hpg, L_pad] so the block covers the full
+            # trailing dims (TPU block-divisibility rule: hpg < 8)
+            pl.BlockSpec((1, 1, hpg, L_pad), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, hpg, L_pad), lambda b, g: (b, g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L_pad, HD), q.dtype),
-            jax.ShapeDtypeStruct((B, H, L_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, hpg, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, hpg, L_pad), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, biasp)
@@ -229,6 +265,14 @@ def _flash_fwd(q, k, v, bias, seed, n_heads, rate, deterministic):
 
 def _flash_fwd_vjp(q, k, v, bias, seed, n_heads, rate, deterministic):
     o, m, l = _flash_call(q, k, v, bias, seed, n_heads, rate, deterministic)
+    # tag the softmax stats so selective-remat policies can keep them:
+    # saving [B,H,L]x2 f32 (1.5 MB/layer at B=32) lets the backward
+    # kernel run WITHOUT re-running the forward kernel — q/k/v are dot
+    # outputs (already saved under the 'dots' policy) and m/l are the
+    # only other residuals (see models/bert.py remat="dots")
+    from jax.ad_checkpoint import checkpoint_name
+    m = checkpoint_name(m, "flash_stats")
+    l = checkpoint_name(l, "flash_stats")
     return o, (q, k, v, bias, seed, m, l)
 
 
@@ -236,6 +280,9 @@ def _flash_bwd_vjp(n_heads, rate, deterministic, res, g):
     q, k, v, bias, seed, m, l = res
     B, L, HD = q.shape
     H = n_heads
+    G = _pick_head_groups(H, HD)
+    hpg = H // G
+    W = HD // G
     L_pad = m.shape[-1]
     qp = _pad_l(q, L_pad, 1)
     kp = _pad_l(k, L_pad, 1)
@@ -249,25 +296,26 @@ def _flash_bwd_vjp(n_heads, rate, deterministic, res, g):
     # guard the padded rows of l against division by zero
     l = jnp.where(l == 0.0, 1.0, l)
 
-    kern = functools.partial(_bwd_kernel, n_heads=H, rate=rate,
+    kern = functools.partial(_bwd_kernel, heads_per_group=hpg,
+                             total_heads=H, rate=rate,
                              deterministic=deterministic)
     dq, dk, dv = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B, G),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, H, L_pad), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, 1, L_pad), lambda b, g: (b, 0, 0)),
+            pl.BlockSpec((1, 1, hpg, L_pad), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, hpg, L_pad), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
         ],
         out_specs=[
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L_pad, HD), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, L_pad, W), lambda b, g: (b, 0, g)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L_pad, HD), q.dtype),

@@ -80,9 +80,14 @@ def moco_logits(q: jnp.ndarray, k: jnp.ndarray, queue: jnp.ndarray) -> jnp.ndarr
     """
     q32 = q.astype(jnp.float32)
     l_pos = jnp.einsum("nc,nc->n", q32, k.astype(jnp.float32))[:, None]
-    l_neg = jax.lax.stop_gradient(
-        jnp.dot(q32, queue.T.astype(jnp.float32),
-                preferred_element_type=jnp.float32))
+    # detach the QUEUE only (reference: queue.clone().detach(),
+    # src/moco.py:291) — the gradient w.r.t. q through l_neg is the
+    # InfoNCE repulsion term and must flow. The negatives matmul runs on
+    # the queue's storage dtype with f32 accumulation.
+    queue = jax.lax.stop_gradient(queue)
+    l_neg = jnp.dot(q.astype(queue.dtype), queue.T,
+                    preferred_element_type=jnp.float32
+                    ).astype(jnp.float32)
     return jnp.concatenate([l_pos, l_neg], axis=1)
 
 

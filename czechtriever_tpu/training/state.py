@@ -90,7 +90,9 @@ def create_moco_state(rng: jax.Array, cfg, mcfg: bert.BertConfig, tx,
     return MoCoState(
         step=jnp.int32(0), params_q=params, params_k=params_k,
         opt_state=tx.init(params),
-        queue=init_queue(q_rng, cfg.queue_size, cfg.projection_size),
+        queue=init_queue(q_rng, cfg.queue_size, cfg.projection_size,
+                         dtype=jnp.dtype(getattr(cfg, "queue_dtype",
+                                                 "float32"))),
         queue_ptr=jnp.int32(0), init_params=init_params)
 
 

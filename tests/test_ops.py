@@ -151,6 +151,47 @@ class TestMoCo:
         assert np.abs(np.asarray(gq)).sum() > 0
         assert np.abs(np.asarray(gk)).sum() == 0
 
+    def test_grad_wrt_q_matches_torch_autograd(self):
+        """Differential oracle for dL/dq: the reference detaches only the
+        queue (src/moco.py:291), so the InfoNCE repulsion gradient flows
+        through the l_neg matmul. (Regression: an earlier version wrapped
+        the whole negatives matmul in stop_gradient, silently removing
+        the repulsion term from training.)"""
+        rng = np.random.default_rng(11)
+        q = rng.normal(size=(4, 8)).astype(np.float32)
+        k = rng.normal(size=(4, 8)).astype(np.float32)
+        queue = rng.normal(size=(16, 8)).astype(np.float32)
+        T = 0.05
+
+        tq = torch.tensor(q, requires_grad=True)
+        l_pos = torch.einsum("nc,nc->n", tq, torch.tensor(k)).unsqueeze(-1)
+        l_neg = torch.einsum("nc,ck->nk", tq, torch.tensor(queue.T))
+        logits = torch.cat([l_pos, l_neg], dim=1) / T
+        torch.nn.functional.cross_entropy(
+            logits, torch.zeros(4, dtype=torch.long)).backward()
+        ref = tq.grad.numpy()
+
+        g = jax.grad(lambda q: losses.moco_loss(
+            q, jax.lax.stop_gradient(jnp.array(k)), jnp.array(queue),
+            T)[0])(jnp.array(q))
+        np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-4, atol=1e-5)
+
+    def test_bf16_queue_logits_close_to_f32(self):
+        """queue_dtype=bfloat16 (the TPU default) must only perturb the
+        negative logits at bf16 rounding scale."""
+        rng = np.random.default_rng(12)
+        q = rng.normal(size=(4, 32)).astype(np.float32)
+        k = rng.normal(size=(4, 32)).astype(np.float32)
+        queue = rng.normal(size=(64, 32)).astype(np.float32)
+        queue /= np.linalg.norm(queue, axis=1, keepdims=True)
+        full = np.asarray(losses.moco_logits(
+            jnp.array(q), jnp.array(k), jnp.array(queue)))
+        half = np.asarray(losses.moco_logits(
+            jnp.array(q), jnp.array(k),
+            jnp.array(queue).astype(jnp.bfloat16)))
+        assert half.dtype == np.float32
+        np.testing.assert_allclose(half, full, rtol=3e-2, atol=3e-2)
+
     def test_distill_sim_mse(self):
         # oracle = the reference compute_sim_matrix + mse_loss
         # (distill.py:44-47,273-276): embeddings are L2-normalized first
