@@ -242,6 +242,15 @@ class Config:
             cfg = cfg.replace(per_device_batch_size=alias_b)
         if alias_e is not None:
             cfg = cfg.replace(per_device_eval_batch_size=alias_e)
+        # --output_dir without --save_dir: checkpoints follow the output
+        # dir. Both flags exist for reference parity (src/options.py:
+        # 16-29, same "./checkpoint/my_experiments" default), but leaving
+        # save_dir at the default while redirecting output_dir would make
+        # the trainer silently RESUME from whatever unrelated experiment
+        # last wrote ./checkpoint/my_experiments/checkpoint/latest.
+        default_dir = Config.__dataclass_fields__["save_dir"].default
+        if cfg.save_dir == default_dir and cfg.output_dir != default_dir:
+            cfg = cfg.replace(save_dir=cfg.output_dir)
         return cfg
 
     def print_options(self, parser: Optional[argparse.ArgumentParser] = None) -> str:

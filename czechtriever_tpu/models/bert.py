@@ -288,6 +288,11 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
     """
     dt = cfg.compute_dtype
     B, L = input_ids.shape
+    # accept narrow wire dtypes (uint16 ids / uint8 masks shrink the
+    # host->device transfer 4x; see Trainer._device_batch) — widen once
+    # here so downstream sums/cumsums can't overflow
+    input_ids = input_ids.astype(jnp.int32)
+    attention_mask = attention_mask.astype(jnp.int32)
     emb = params["embeddings"]
 
     x = emb["word"][input_ids]

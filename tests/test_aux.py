@@ -118,6 +118,7 @@ class TestLazyJsonl:
 
 
 class TestSimCSE:
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_cls_pool_geometry(self, tmp_path):
         from czechtriever_tpu.models.simcse import load_simcse
         d = tmp_path / "simcse"
@@ -293,6 +294,7 @@ class TestDemo:
 
 
 class TestExportHF:
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_checkpoint_to_hf_roundtrip(self, tmp_path):
         """train 2 steps -> export_hf -> reload via transformers and
         match the embeddings (save_contriever parity,
@@ -361,3 +363,27 @@ class TestExportHF:
             jax.tree.map(jnp.asarray, t.encoder_params), mcfg,
             jnp.array(ids), jnp.array(mask)))
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestConfigDirMirroring:
+    """--output_dir without --save_dir must redirect checkpoints too:
+    otherwise the trainer silently resumes from whatever unrelated run
+    last wrote the default ./checkpoint/my_experiments/checkpoint/latest
+    (both flags + shared default mirror src/options.py:16-29)."""
+
+    def test_save_dir_follows_output_dir(self):
+        from czechtriever_tpu.config import Config
+        cfg = Config.from_args(["--output_dir", "/tmp/somewhere-else"])
+        assert cfg.save_dir == "/tmp/somewhere-else"
+
+    def test_explicit_save_dir_wins(self):
+        from czechtriever_tpu.config import Config
+        cfg = Config.from_args(["--output_dir", "/tmp/a",
+                                "--save_dir", "/tmp/b"])
+        assert cfg.save_dir == "/tmp/b"
+        assert cfg.output_dir == "/tmp/a"
+
+    def test_defaults_untouched(self):
+        from czechtriever_tpu.config import Config
+        cfg = Config.from_args([])
+        assert cfg.save_dir == Config().save_dir

@@ -206,6 +206,7 @@ class TestXLMRobertaParity:
 
 
 class TestRematPolicies:
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_grads_match_across_remat_modes(self):
         """remat=False / True / 'dots' change memory, never numbers."""
         cfg = bert.BertConfig.tiny()

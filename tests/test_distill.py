@@ -59,6 +59,7 @@ def setup(w=0.5, teacher_hidden=48):
 
 
 class TestDistillStep:
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_manual_rederivation_oracle(self):
         """Re-derive one full optimizer step with a plain Python loop over
         microbatches using only the public ops, and require the jitted
@@ -110,6 +111,7 @@ class TestDistillStep:
                                    rtol=1e-5, atol=1e-6)
         assert int(st2.queue_ptr) == int(ptr)
 
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_w0_matches_pure_moco(self):
         """distill_weight=0 must reproduce the plain MoCo step exactly
         (MoCoDistill is a near-copy of MoCo, src/moco.py:15-184)."""

@@ -27,6 +27,7 @@ class TestIVFPQ:
         idx.index_data([str(i) for i in range(len(corpus))], corpus)
         return idx
 
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_full_probe_matches_exhaustive_pq_recall(self):
         """nprobe == nlist visits every list, so recall@10 vs flat must
         match (or beat, residual coding helps) exhaustive PQ with the
@@ -64,6 +65,7 @@ class TestIVFPQ:
         # clustered data: 4/16 probes should still catch most neighbors
         assert recall > 0.5
 
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_scores_are_descending_and_ids_valid(self):
         corpus = clustered_corpus(n=500)
         ivf = self._build(corpus, nlist=8, nprobe=8)
@@ -74,6 +76,7 @@ class TestIVFPQ:
             assert all(0 <= int(i) < 500 for i in ids)
             assert len(set(ids)) == 20  # no duplicate hits
 
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_packing_covers_every_vector_once(self):
         corpus = clustered_corpus(n=700)
         ivf = self._build(corpus, nlist=8)

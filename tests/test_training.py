@@ -232,6 +232,7 @@ class TestMesh:
 
 
 class TestEmaEveryStep:
+    @pytest.mark.slow  # >15s on the CPU backend
     def test_final_key_params_identical(self):
         """One momentum^A update == A sequential momentum updates when
         params_q is fixed (exact identity); only the per-microbatch keys
@@ -336,6 +337,7 @@ class TestSAM:
     """Working SAM/ASAM (the reference's finetuning SAM branch
     references an optimizer it never constructs, finetuning.py:75-80)."""
 
+    @pytest.mark.slow  # >15s on the CPU backend
     @pytest.mark.parametrize("name", ["sam", "asam"])
     def test_trains_and_differs_from_adamw(self, name):
         mcfg = tiny_mcfg()
