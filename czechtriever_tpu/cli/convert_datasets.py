@@ -1,5 +1,6 @@
 """Dataset -> BEIR-format converters
-(reference data_scripts/convertmrtydi2beir.py, parse_dareczech.py).
+(reference data_scripts/convertmrtydi2beir.py, parse_dareczech.py,
+create_beir_dataset.py).
 
 Subcommands:
   * ``mrtydi``   — Mr.TyDi layout (topic.tsv, collection/docs.jsonl,
@@ -8,11 +9,19 @@ Subcommands:
   * ``dareczech`` — DAREczech TSV (id-indexed rows with query, title,
     doc, label) -> BEIR with 2x-label scores and one query per unique
     query text.
+  * ``annotations`` — card-annotation dumps (jsonl records with a
+    query_string and cards carrying segments_cz text + a
+    positive/neutral/negative state) -> the fit-eval-style BEIR set
+    (create_beir_dataset.py:34-184). Cross-annotator label conflicts are
+    resolved by --conflicts {first,positive,negative} instead of the
+    reference's hard-coded hand-resolution table (:17-33).
 
 Usage:
   python -m czechtriever_tpu.cli.convert_datasets mrtydi IN_DIR OUT_DIR
   python -m czechtriever_tpu.cli.convert_datasets dareczech \\
       --input_file dev.tsv --output_dir beir/dareczech
+  python -m czechtriever_tpu.cli.convert_datasets annotations \\
+      --data_folder dumps/ --output_dir beir/fit-eval
 """
 
 from __future__ import annotations
@@ -103,6 +112,80 @@ def convert_dareczech(input_file: str, output_dir: str) -> None:
             f.write(f"{qid}\t{r[id_col]}\t{score}\n")
 
 
+def convert_annotations(data_folder: str, output_dir: str,
+                        conflicts: str = "first") -> None:
+    """create_beir_dataset.py parity: merge per-user card annotations
+    into a BEIR corpus/queries/qrels triple.
+
+    Record filter (:45-56): at least one card with a timestamp and a
+    non-neutral state, and a ``query_string`` (asymmetric queries only).
+    Docs are deduplicated across queries by exact text with STABLE ids
+    (the reference advances its doc counter on duplicates, so a doc
+    first seen after any duplicate gets an id that later re-references
+    point past — ids here are d<insertion-index>). Scores: positive=2,
+    else 0 (:141-150, the intermediate 3-way score is dead code there).
+    """
+    per_query = {}  # query_string -> {doc_text: (label, author)}
+    order = []
+    for fname in sorted(os.listdir(data_folder)):
+        path = os.path.join(data_folder, fname)
+        if not os.path.isfile(path):
+            continue
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                record = json.loads(line)
+                if "query_string" not in record:
+                    continue
+                cards = [c for c in record.get("data", {}).get("cards", [])
+                         if c.get("timestamp")
+                         and c.get("state") != "neutral"]
+                if not cards:
+                    continue
+                query = record["query_string"]
+                if query not in per_query:
+                    per_query[query] = {}
+                    order.append(query)
+                user = record.get("user", "")
+                for card in cards:
+                    doc, label = card["segments_cz"], card["state"]
+                    if doc not in per_query[query]:
+                        per_query[query][doc] = (label, user)
+                    elif per_query[query][doc][0] != label:
+                        prev_label, prev_user = per_query[query][doc]
+                        print(f"conflict on query {query!r}: "
+                              f"{prev_user}={prev_label} vs {user}={label}"
+                              f" -> policy {conflicts}", file=sys.stderr)
+                        if conflicts in ("positive", "negative"):
+                            per_query[query][doc] = (conflicts, user)
+                        # "first": keep the existing annotation
+
+    corpus = {}          # doc text -> doc id
+    os.makedirs(os.path.join(output_dir, "qrels"), exist_ok=True)
+    with open(os.path.join(output_dir, "queries.jsonl"), "w",
+              encoding="utf-8") as qf, \
+            open(os.path.join(output_dir, "qrels", "test.tsv"), "w",
+                 encoding="utf-8") as rf:
+        rf.write("query_id\tdoc_id\tscore\n")
+        for qi, query in enumerate(order):
+            qid = f"q{qi}"
+            qf.write(json.dumps({"_id": qid, "text": query},
+                                ensure_ascii=True) + "\n")
+            for doc, (label, _user) in per_query[query].items():
+                if doc not in corpus:
+                    corpus[doc] = f"d{len(corpus)}"
+                score = 2 if label == "positive" else 0
+                rf.write(f"{qid}\t{corpus[doc]}\t{score}\n")
+
+    with open(os.path.join(output_dir, "corpus.jsonl"), "w",
+              encoding="utf-8") as cf:
+        for doc, did in corpus.items():
+            cf.write(json.dumps({"_id": did, "title": "", "text": doc},
+                                ensure_ascii=True) + "\n")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -112,9 +195,17 @@ def main(argv=None) -> None:
     d = sub.add_parser("dareczech")
     d.add_argument("--input_file", required=True)
     d.add_argument("--output_dir", required=True)
+    a = sub.add_parser("annotations")
+    a.add_argument("--data_folder", required=True)
+    a.add_argument("--output_dir", required=True)
+    a.add_argument("--conflicts", default="first",
+                   choices=("first", "positive", "negative"))
     args = p.parse_args(argv)
     if args.cmd == "mrtydi":
         convert_mrtydi(args.data_path, args.output_path)
+    elif args.cmd == "annotations":
+        convert_annotations(args.data_folder, args.output_dir,
+                            args.conflicts)
     else:
         convert_dareczech(args.input_file, args.output_dir)
 

@@ -194,6 +194,58 @@ class TestConverters:
         assert lines[1].split("\t")[2] == "1"   # 2*0.5
         assert lines[2].split("\t")[2] == "2"   # 2*1.0
 
+    def test_annotations(self, tmp_path):
+        """create_beir_dataset.py semantics: filter unannotated /
+        symmetric records, merge users, dedupe docs with STABLE ids,
+        resolve label conflicts by policy, positive->2 else 0."""
+        from czechtriever_tpu.cli.convert_datasets import convert_annotations
+        src = tmp_path / "dumps"
+        os.makedirs(src)
+
+        def rec(user, query, cards, symmetric=False):
+            r = {"user": user, "data": {"cards": cards}}
+            if not symmetric:
+                r["query_string"] = query
+            return json.dumps(r, ensure_ascii=False)
+
+        card = lambda text, state, ts="t1": {
+            "segments_cz": text, "state": state, "timestamp": ts}
+        with open(src / "a.jsonl", "w") as f:
+            f.write(rec("u1", "praha", [card("docA", "positive"),
+                                        card("docB", "negative")]) + "\n")
+            # no annotated cards -> dropped
+            f.write(rec("u1", "brno", [card("docC", "neutral")]) + "\n")
+            # symmetric (no query_string) -> dropped
+            f.write(rec("u1", "x", [card("docD", "positive")],
+                        symmetric=True) + "\n")
+        with open(src / "b.jsonl", "w") as f:
+            # same query, conflicting label on docA + one new doc
+            f.write(rec("u2", "praha", [card("docA", "negative"),
+                                        card("docE", "positive")]) + "\n")
+
+        out = tmp_path / "beir"
+        convert_annotations(str(src), str(out), conflicts="first")
+        with open(out / "queries.jsonl") as f:
+            qs = [json.loads(line) for line in f]
+        assert [q["text"] for q in qs] == ["praha"]
+        with open(out / "corpus.jsonl") as f:
+            corpus = {c["text"]: c["_id"] for c in map(json.loads, f)}
+        assert set(corpus) == {"docA", "docB", "docE"}
+        assert sorted(corpus.values()) == ["d0", "d1", "d2"]  # stable ids
+        with open(out / "qrels" / "test.tsv") as f:
+            rows = [l.split("\t") for l in f.read().splitlines()[1:]]
+        scores = {r[1]: r[2] for r in rows}
+        # conflicts="first": u1's positive docA annotation wins -> 2
+        assert scores[corpus["docA"]] == "2"
+        assert scores[corpus["docB"]] == "0"
+        assert scores[corpus["docE"]] == "2"
+
+        out2 = tmp_path / "beir2"
+        convert_annotations(str(src), str(out2), conflicts="negative")
+        with open(out2 / "qrels" / "test.tsv") as f:
+            rows = [l.split("\t") for l in f.read().splitlines()[1:]]
+        assert {r[1]: r[2] for r in rows}[corpus["docA"]] == "0"
+
 
 class TestSlurmSignals:
     def test_handlers_installed_and_sigterm_bypassed(self):
