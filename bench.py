@@ -123,8 +123,12 @@ def main():
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--queue_size", type=int, default=131072)
     p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--remat", default="dots",
+    p.add_argument("--remat", default="none",
                    choices=("none", "full", "dots"))
+    # no-remat default: 492 vs 482 pairs/s under 'dots' at B=32 x
+    # accum 16 once the bf16 wgrad/activation work made the saved
+    # activations fit HBM; the OOM ladder below degrades none -> dots
+    # -> smaller batch on tighter chips
     p.add_argument("--no-remat", dest="remat", action="store_const",
                    const="none")
     p.add_argument("--attention", default="auto",
@@ -136,17 +140,22 @@ def main():
     args = p.parse_args()
 
     batch = args.batch
+    remat = args.remat
     while True:
         try:
             sps, spstep, loss = run(batch, args.accum, args.seq,
-                                    args.queue_size, args.steps, args.remat,
+                                    args.queue_size, args.steps, remat,
                                     args.attention, args.gelu, args.unroll,
                                     args.ema_every_step)
             break
         except Exception as e:
             oom = ("RESOURCE_EXHAUSTED" in str(e)
                    or "Ran out of memory" in str(e))
-            if oom and batch > 8:
+            if oom and remat == "none":
+                print("OOM without remat, retrying with 'dots'",
+                      file=sys.stderr)
+                remat = "dots"
+            elif oom and batch > 8:
                 print(f"OOM at batch {batch}, halving", file=sys.stderr)
                 batch //= 2
             else:
@@ -154,10 +163,10 @@ def main():
     from czechtriever_tpu.models import bert as bertlib
     mcfg = bertlib.BertConfig(vocab_size=30522)
     mfu = sps * model_flops_per_pair(mcfg, args.seq, args.queue_size,
-                                     args.remat) / V5E_PEAK_FLOPS
+                                     remat) / V5E_PEAK_FLOPS
     print(f"batch={batch} accum={args.accum} seq={args.seq} "
           f"step={spstep*1000:.1f}ms loss={loss:.4f} "
-          f"attention={args.attention} remat={args.remat} "
+          f"attention={args.attention} remat={remat} "
           f"mfu={100*mfu:.1f}%", file=sys.stderr)
     print(json.dumps({
         "metric": "moco_train_pairs_per_s",

@@ -45,7 +45,8 @@ from czechtriever_tpu.models import bert
 from czechtriever_tpu.models.contriever import encode
 from czechtriever_tpu.ops import losses
 from czechtriever_tpu.training.state import DistillState
-from czechtriever_tpu.training.steps import global_norm, _mean_stats
+from czechtriever_tpu.training.steps import (global_norm, _mean_stats,
+                                             cast_layer_params)
 
 Batch = Dict[str, jnp.ndarray]
 Stats = Dict[str, jnp.ndarray]
@@ -66,6 +67,9 @@ def make_distill_step(cfg, mcfg: bert.BertConfig, tcfg: bert.BertConfig,
         A = batch["q_tokens"].shape[0]
         micro_rngs = jax.random.split(rng, A)
         has_teacher_tokens = "t_tokens" in batch
+        # differentiate w.r.t. bf16 layer weights (see
+        # steps.cast_layer_params); f32 masters stay in the optimizer
+        params_qc = cast_layer_params(state.params_q, mcfg.compute_dtype)
 
         def loss_fn(params_q, k, queue, teacher_q, mb, qr):
             q = encode(params_q, mcfg, mb["q_tokens"], mb["q_mask"],
@@ -109,7 +113,7 @@ def make_distill_step(cfg, mcfg: bert.BertConfig, tcfg: bert.BertConfig,
             teacher_q = jax.lax.stop_gradient(teacher_q)
 
             (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params_q, k, queue, teacher_q, mb, qr)
+                params_qc, k, queue, teacher_q, mb, qr)
             grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
 
             queue, ptr = losses.queue_update(queue, ptr, k)
