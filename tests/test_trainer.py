@@ -221,6 +221,38 @@ class TestTrainCLIJsonl:
         assert any("train/loss" in r for r in recs)
 
 
+class TestCrossDtypeQueueRestore:
+    """Resuming an f32-queue checkpoint under the bf16 queue_dtype
+    default (or vice versa) must restore with a cast, not crash — users
+    upgrading mid-training hit exactly this."""
+
+    def test_f32_checkpoint_into_bf16_target(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from czechtriever_tpu.config import Config
+        from czechtriever_tpu.models import bert
+        from czechtriever_tpu.training import optim, state as statelib
+        from czechtriever_tpu.utils import checkpoint as ckpt
+
+        mcfg = bert.BertConfig.tiny()
+        cfg32 = Config(queue_size=32, projection_size=64,
+                       queue_dtype="float32")
+        cfgbf = cfg32.replace(queue_dtype="bfloat16")
+        tx = optim.make_optimizer(cfg32)
+        st32 = statelib.create_moco_state(jax.random.key(0), cfg32, mcfg, tx)
+        ckpt.save(st32, cfg32, str(tmp_path), "test")
+
+        stbf = statelib.create_moco_state(jax.random.key(1), cfgbf, mcfg, tx)
+        host = jax.tree.map(np.asarray, stbf)
+        restored, _ = ckpt.load(
+            host, str(tmp_path / "checkpoint" / "test"))
+        assert restored.queue.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(restored.queue, dtype=np.float32),
+            np.asarray(st32.queue), rtol=1e-2, atol=1e-2)
+
+
 class TestProjectionSizeReconciled:
     def test_queue_follows_hidden_size(self, tmp_path):
         """cfg.projection_size defaulting to 768 must not break models
