@@ -140,8 +140,8 @@ def convert_annotations(data_folder: str, output_dir: str,
                 if "query_string" not in record:
                     continue
                 cards = [c for c in record.get("data", {}).get("cards", [])
-                         if c.get("timestamp")
-                         and c.get("state") != "neutral"]
+                         if c.get("timestamp") and "segments_cz" in c
+                         and c.get("state") in ("positive", "negative")]
                 if not cards:
                     continue
                 query = record["query_string"]

@@ -20,6 +20,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -248,8 +249,14 @@ class Config:
         # save_dir at the default while redirecting output_dir would make
         # the trainer silently RESUME from whatever unrelated experiment
         # last wrote ./checkpoint/my_experiments/checkpoint/latest.
+        # Explicitness is detected from argv so a deliberate
+        # "--save_dir <the default>" is honored.
+        given = argv if argv is not None else sys.argv[1:]
+        save_dir_given = any(a == "--save_dir"
+                             or a.startswith("--save_dir=") for a in given)
         default_dir = Config.__dataclass_fields__["save_dir"].default
-        if cfg.save_dir == default_dir and cfg.output_dir != default_dir:
+        if (not save_dir_given and cfg.save_dir == default_dir
+                and cfg.output_dir != default_dir):
             cfg = cfg.replace(save_dir=cfg.output_dir)
         return cfg
 

@@ -71,6 +71,19 @@ def naive_attention(q, k, v, bias, dropout_rate: float = 0.0,
                       preferred_element_type=dt)
 
 
+def naive_attention_flat(q, k, v, bias, n_heads: int, **kw):
+    """``naive_attention`` on the kernel's flat [B, L, H*D] layout —
+    the differential reference for tests and the kernel micro-bench."""
+    B, L, HD = q.shape
+    D = HD // n_heads
+
+    def split(x):
+        return x.reshape(B, L, n_heads, D).transpose(0, 2, 1, 3)
+
+    o = naive_attention(split(q), split(k), split(v), bias, **kw)
+    return o.transpose(0, 2, 1, 3).reshape(B, L, HD)
+
+
 def _pick_head_groups(H: int, HD: int) -> int:
     """Head-group count for the (B, G) grid. Swept on a v5e at
     B=32, L=256, H=12: G=1 (one program per batch element, all heads
@@ -82,8 +95,11 @@ def _pick_head_groups(H: int, HD: int) -> int:
     override = os.environ.get("CZT_ATTN_HEAD_GROUPS")
     if override:
         g = int(override)
-        if H % g == 0 and (HD // g) % LANE == 0:
-            return g
+        if H % g != 0 or (HD // g) % LANE != 0:
+            raise ValueError(
+                f"CZT_ATTN_HEAD_GROUPS={g} invalid: must divide H={H} "
+                f"with a {LANE}-multiple block width (H*D={HD})")
+        return g
     return 1
 
 

@@ -39,9 +39,12 @@ def last_token_pool(last_hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     (/root/reference/distill.py:57-66). The reference special-cases left
     padding; indexing by the last mask=1 position covers both paddings
     with static shapes."""
-    idx = jnp.maximum(mask.sum(axis=1) - 1, 0)  # [B]
+    # int32 BEFORE the -1: uint8/uint16 wire masks sum to an unsigned
+    # dtype, where an all-pad row's 0-1 wraps to 2^32-1 and the maximum
+    # no longer clamps
+    idx = jnp.maximum(mask.astype(jnp.int32).sum(axis=1) - 1, 0)  # [B]
     return jnp.take_along_axis(
-        last_hidden, idx[:, None, None].astype(jnp.int32), axis=1
+        last_hidden, idx[:, None, None], axis=1
     )[:, 0].astype(jnp.float32)
 
 

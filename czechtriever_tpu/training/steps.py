@@ -75,9 +75,6 @@ def cast_layer_params(params, dtype) -> Any:
                                    params["layers"])}
 
 
-def upcast_grads(grads, params) -> Any:
-    """Match gradient dtypes to the f32 master params for optax."""
-    return jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
 
 
 def per_param_grad_norms(grads) -> Stats:

@@ -188,7 +188,9 @@ class Trainer:
                 pending_stats.append(stats)
 
                 if step % cfg.log_freq == 0:
-                    for st in pending_stats:
+                    # one batched transfer for the whole window, not one
+                    # blocking readback per scalar
+                    for st in jax.device_get(pending_stats):
                         run_stats.update_means(
                             {k: float(v) for k, v in st.items()},
                             self.global_micro)

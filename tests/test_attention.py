@@ -30,14 +30,7 @@ def make_qkv(rng, B, H, L, D, dtype=jnp.float32):
     return q, k, v, bias
 
 
-def naive_flat(q, k, v, bias, H, **kw):
-    """naive_attention on flat [B, L, H*D] inputs."""
-    B, L, HD = q.shape
-    D = HD // H
-    def split(x):
-        return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
-    o = A.naive_attention(split(q), split(k), split(v), bias, **kw)
-    return o.transpose(0, 2, 1, 3).reshape(B, L, HD)
+naive_flat = A.naive_attention_flat
 
 
 class TestInterpret:

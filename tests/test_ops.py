@@ -42,6 +42,17 @@ class TestPooling:
         out = np.asarray(pooling.l2_normalize(jnp.array(x)))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
+    def test_last_token_pool_uint8_all_pad_row(self):
+        """Regression: with the uint8 wire masks, an all-pad row's
+        mask.sum()-1 must clamp to position 0, not wrap unsigned to
+        2^32-1 (jnp.sum(uint8) promotes to uint32)."""
+        h = jnp.asarray(np.random.default_rng(2).normal(size=(2, 4, 8)),
+                        jnp.float32)
+        mask = jnp.array([[1, 1, 0, 0], [0, 0, 0, 0]], jnp.uint8)
+        out = pooling.last_token_pool(h, mask)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(h[0, 1]))
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(h[1, 0]))
+
 
 class TestCrossEntropy:
     @pytest.mark.parametrize("smoothing", [0.0, 0.1])

@@ -61,10 +61,7 @@ def main():
         argnums=(0, 1, 2)))
 
     def naive_flat(q, k, v):
-        def split(x):
-            return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
-        o = A.naive_attention(split(q), split(k), split(v), bias)
-        return o.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+        return A.naive_attention_flat(q, k, v, bias, H)
 
     naive_f = jax.jit(naive_flat)
     naive_g = jax.jit(jax.grad(
