@@ -104,8 +104,15 @@ def index_encoded_data(index, embedding_files, indexing_batch_size):
     (passage_retrieval.py:65-90)."""
     for file_path in embedding_files:
         logger.info("Loading %s", file_path)
-        with open(file_path, "rb") as fin:
-            ids, embeddings = pickle.load(fin)
+        try:
+            with open(file_path, "rb") as fin:
+                ids, embeddings = pickle.load(fin)
+        except (pickle.UnpicklingError, EOFError, ValueError) as e:
+            # globs like "emb/*" can catch run.log / opt.txt written
+            # next to the shards; skip anything that isn't a shard
+            logger.warning("Skipping non-shard file %s (%s)",
+                           file_path, e)
+            continue
         for s in range(0, len(ids), indexing_batch_size):
             index.index_data(list(ids[s:s + indexing_batch_size]),
                              np.asarray(embeddings[s:s + indexing_batch_size]))

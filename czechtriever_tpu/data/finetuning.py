@@ -151,8 +151,10 @@ class TripletCollator:
         self.maxlength = passage_maxlength
 
     def _encode(self, texts: List[str]):
-        ids, mask = self.tokenizer.batch_encode(
-            texts, max_length=self.maxlength, add_special_tokens=True)
+        from czechtriever_tpu.data.tokenizer import batch_encode_any
+        ids, mask = batch_encode_any(
+            self.tokenizer, texts, max_length=self.maxlength,
+            add_special_tokens=True)
         L = ids.shape[1]
         if L < self.maxlength:
             ids = np.pad(ids, ((0, 0), (0, self.maxlength - L)))

@@ -308,6 +308,25 @@ class WordPieceTokenizer:
         return {"input_ids": ids, "attention_mask": mask}
 
 
+def batch_encode_any(tokenizer, texts: Sequence[str],
+                     max_length: int = 512,
+                     add_special_tokens: bool = True
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """(ids, mask) from either the native WordPieceTokenizer or a
+    transformers tokenizer — ``load_tokenizer`` can return both, and HF
+    tokenizers have no ``batch_encode`` method (found the hard way when
+    the embed CLI met a BertTokenizerFast)."""
+    if hasattr(tokenizer, "batch_encode"):
+        return tokenizer.batch_encode(texts, max_length=max_length,
+                                      add_special_tokens=add_special_tokens)
+    out = tokenizer(list(texts), padding=True, truncation=True,
+                    max_length=max_length,
+                    add_special_tokens=add_special_tokens,
+                    return_tensors="np")
+    return (np.asarray(out["input_ids"], np.int32),
+            np.asarray(out["attention_mask"], np.int32))
+
+
 def load_tokenizer(path_or_id: str):
     """Local-first tokenizer resolution (src/utils.py:268-276 semantics):
     prefer a transformers fast tokenizer from a local dir, fall back to

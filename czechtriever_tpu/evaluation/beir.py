@@ -108,8 +108,9 @@ class DenseEncoder:
         for s in range(0, len(texts), batch_size):
             chunk = texts[s:s + batch_size]
             n_real = len(chunk)
-            ids, mask = self.tokenizer.batch_encode(
-                chunk, max_length=self.max_length,
+            from czechtriever_tpu.data.tokenizer import batch_encode_any
+            ids, mask = batch_encode_any(
+                self.tokenizer, chunk, max_length=self.max_length,
                 add_special_tokens=self.add_special_tokens)
             L = ids.shape[1]
             Lp = min(self.max_length, -(-L // self.bucket) * self.bucket)

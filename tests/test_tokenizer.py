@@ -116,3 +116,38 @@ class TestFastBasicTokenize:
             fast = T._basic_tokenize_fast(text, True, True)
             slow = tok._basic_tokenize_slow(text)
             assert fast == slow, (repr(text), fast, slow)
+
+
+class TestBatchEncodeAny:
+    """batch_encode_any must serve BOTH tokenizer families load_tokenizer
+    can return (regression: the embed CLI crashed on BertTokenizerFast,
+    which has no batch_encode method)."""
+
+    def test_hf_fast_tokenizer(self, tmp_path):
+        import numpy as np
+        from transformers import BertTokenizerFast
+        from czechtriever_tpu.data.tokenizer import batch_encode_any
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text("\n".join(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "praha", "brno", "kde", "je"]))
+        tok = BertTokenizerFast(vocab_file=str(vocab), lowercase=True)
+        ids, mask = batch_encode_any(tok, ["kde je praha", "brno"],
+                                     max_length=16)
+        assert ids.dtype == np.int32 and mask.dtype == np.int32
+        assert ids.shape == mask.shape and ids.shape[0] == 2
+        assert mask[0].sum() == 5          # CLS + 3 tokens + SEP
+        assert mask[1].sum() == 3
+
+    def test_native_tokenizer_same_interface(self, tmp_path):
+        from czechtriever_tpu.data.tokenizer import (WordPieceTokenizer,
+                                                     batch_encode_any)
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text("\n".join(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "praha", "brno", "kde", "je"]))
+        tok = WordPieceTokenizer.from_vocab_file(str(vocab))
+        ids, mask = batch_encode_any(tok, ["kde je praha", "brno"],
+                                     max_length=16)
+        assert ids.shape == mask.shape and ids.shape[0] == 2
+        assert mask[0].sum() == 5 and mask[1].sum() == 3
