@@ -45,7 +45,8 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
             mcfg = bert.BertConfig.from_hf_dict(json.load(f))
         mcfg = bert.BertConfig(**{**mcfg.__dict__, "dtype": dtype,
                                   "hidden_dropout_prob": cfg.dropout,
-                                  "attention_probs_dropout_prob": cfg.dropout})
+                                  "attention_probs_dropout_prob": cfg.dropout,
+                                  "attention_impl": cfg.attention_impl})
         try:
             tokenizer = load_tokenizer(model_dir)
         except Exception:
@@ -68,13 +69,15 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
             mcfg = bert.BertConfig.from_hf_dict(json.load(f))
         mcfg = bert.BertConfig(**{**mcfg.__dict__, "dtype": dtype,
                                   "hidden_dropout_prob": cfg.dropout,
-                                  "attention_probs_dropout_prob": cfg.dropout})
+                                  "attention_probs_dropout_prob": cfg.dropout,
+                                  "attention_impl": cfg.attention_impl})
         return None, mcfg, None
 
     logger.warning("model id %r not found locally; using random-init "
                    "BERT-base geometry", cfg.retriever_model_id)
     mcfg = bert.BertConfig(dtype=dtype, hidden_dropout_prob=cfg.dropout,
-                           attention_probs_dropout_prob=cfg.dropout)
+                           attention_probs_dropout_prob=cfg.dropout,
+                           attention_impl=cfg.attention_impl)
     return None, mcfg, None
 
 

@@ -59,6 +59,11 @@ class Config:
 
     # --- model (src/options.py:112-139) ---
     dropout: float = 0.1
+    # encoder attention path: "auto" (flash kernel on TPU, XLA naive
+    # elsewhere), "flash", "naive", or "flash_block" (fused MHA +
+    # out-proj + dropout + residual + LN kernel, ops/attention_block.py
+    # — fastest measured train config on v5e, see docs/PERF.md)
+    attention_impl: str = "auto"
     rho: float = 0.05  # SAM neighborhood size (finetuning.py:75-80)
     contrastive_mode: str = "moco"
     queue_size: int = 65536

@@ -232,6 +232,30 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
 
     rate = cfg.attention_probs_dropout_prob
     attn_rng = rngs.get("attn")
+    if cfg.attention_impl == "flash_block":
+        # experimental fully-fused attention half-block: MHA + out-proj
+        # + dropout + residual + LN in one kernel (ops/attention_block).
+        # Both dropouts ride the in-kernel hardware PRNG from one seed.
+        from czechtriever_tpu.ops import attention_block as ab
+        det = deterministic or attn_rng is None
+        seed = (jax.random.bits(attn_rng, (), "uint32").astype(jnp.int32)
+                if not det else jnp.int32(0))
+        x = ab.attention_block(
+            q, k, v, x, lp["attn_out_kernel"].astype(dt),
+            lp["attn_out_bias"].astype(dt),
+            lp["attn_ln"]["scale"].astype(dt),
+            lp["attn_ln"]["bias"].astype(dt), bias, seed, H,
+            rate if not det else 0.0,
+            cfg.hidden_dropout_prob if not det else 0.0,
+            cfg.layer_norm_eps, det)
+        h = proj(x, lp["ffn_in_kernel"], lp["ffn_in_bias"])
+        h = jax.nn.gelu(h, approximate=cfg.hidden_act == "gelu_tanh")
+        h = proj(h, lp["ffn_out_kernel"], lp["ffn_out_bias"])
+        h = _dropout(h, cfg.hidden_dropout_prob, rngs.get("h2"),
+                     deterministic)
+        return _layer_norm(x + h, lp["ffn_ln"]["scale"],
+                           lp["ffn_ln"]["bias"], cfg.layer_norm_eps,
+                           impl=cfg.ln_impl)
     use_flash = cfg.attention_impl == "flash" or (
         cfg.attention_impl == "auto" and jax.default_backend() == "tpu")
     if use_flash:

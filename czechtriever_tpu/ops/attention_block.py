@@ -1,0 +1,370 @@
+"""Fused attention *block* kernel (experimental, opt-in).
+
+One Pallas program per batch element computes the ENTIRE post-attention
+half of a BERT layer in VMEM:
+
+    ctx  = MHA(q, k, v, bias, attn-dropout)        (ops/attention.py math)
+    attn = ctx @ Wo + bo
+    h    = dropout(attn)
+    z    = x + h
+    y    = LayerNorm(z) * scale + ln_bias
+
+vs. the default path (flash_attention kernel + XLA out-proj + XLA
+dropout/residual/LN chain), this removes the ctx round-trip through HBM
+and the separate LayerNorm reduce fusion — the two items the step
+profile attributes ~10% of the train step to. The price is moving the
+out-projection matmul and the LN lane reductions inside Mosaic, which
+may or may not beat XLA's fusions: measured on-chip before flipping any
+default (see docs/PERF.md).
+
+Backward: a second kernel recomputes the probs (from saved softmax
+stats), the out-projection, and the dropout masks (hardware PRNG,
+identical streams), and produces dq/dk/dv/dx plus dWo/dbo/dscale/dbias.
+Weight gradients are accumulated ACROSS the sequential TPU grid into a
+single VMEM-resident block (initialized at program 0), so no [B, ...]
+partial buffers ever hit HBM.
+
+Enable with ``BertConfig(attention_impl="flash_block")``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from czechtriever_tpu.ops.attention import LANE, _keep_mask, _pad_l
+
+HIDDEN_SEED_OFFSET = 0x40000000  # disjoint from the per-(b,h) attention seeds
+
+
+def _mha_ctx(q_ref, k_ref, v_ref, bias_row, m_ref, l_ref, seed_ref, b,
+             n_heads, rate, deterministic, save_stats):
+    """Per-head attention into a [L, HD] context, stats saved."""
+    H = n_heads
+    D = q_ref.shape[-1] // H
+    outs = []
+    for h in range(H):
+        cols = slice(h * D, (h + 1) * D)
+        q = q_ref[0, :, cols]
+        k = k_ref[0, :, cols]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(D)) + bias_row
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[:, None])
+        l = jnp.sum(p, axis=-1)
+        if not deterministic and rate > 0.0:
+            keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, cols],
+                    preferred_element_type=jnp.float32)
+        outs.append((o / l[:, None]).astype(q_ref.dtype))
+        if save_stats:
+            m_ref[0, 0, h] = m
+            l_ref[0, 0, h] = l
+    return jnp.concatenate(outs, axis=-1)  # [L, HD]
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
+                sc_ref, lb_ref, bias_ref, y_ref, ctx_ref, m_ref, l_ref,
+                mean_ref, rstd_ref, *, n_heads, attn_rate, hidden_rate,
+                eps, deterministic):
+    b = pl.program_id(0)
+    bias_row = bias_ref[0, 0][None, :]
+    ctx = _mha_ctx(q_ref, k_ref, v_ref, bias_row, m_ref, l_ref, seed_ref,
+                   b, n_heads, attn_rate, deterministic, save_stats=True)
+    ctx_ref[0] = ctx
+    attn = jnp.dot(ctx, w_ref[...], preferred_element_type=jnp.float32)
+    attn = attn + bo_ref[...].astype(jnp.float32)[None, :]
+    if not deterministic and hidden_rate > 0.0:
+        keep = _keep_mask(seed_ref[0] + HIDDEN_SEED_OFFSET + b,
+                          hidden_rate, attn.shape)
+        attn = jnp.where(keep, attn * (1.0 / (1.0 - hidden_rate)), 0.0)
+    z = x_ref[0].astype(jnp.float32) + attn
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mean
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    zhat = zc * rstd
+    y = zhat * sc_ref[...].astype(jnp.float32)[None, :] \
+        + lb_ref[...].astype(jnp.float32)[None, :]
+    y_ref[0] = y.astype(y_ref.dtype)
+    mean_ref[0, 0] = mean[:, 0]
+    rstd_ref[0, 0] = rstd[:, 0]
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
+                sc_ref, bias_ref, ctx_ref, m_ref, l_ref, mean_ref,
+                rstd_ref, dy_ref, dq_ref, dk_ref, dv_ref, dx_ref, dw_ref,
+                dbo_ref, dsc_ref, dlb_ref, *, n_heads, attn_rate,
+                hidden_rate, eps, deterministic):
+    b = pl.program_id(0)
+    H = n_heads
+    D = q_ref.shape[-1] // H
+    HD = q_ref.shape[-1]
+    dt = q_ref.dtype
+    bias_row = bias_ref[0, 0][None, :]
+
+    # ---- recompute z / zhat from the saved ctx --------------------------
+    ctx = ctx_ref[0]
+    attn = jnp.dot(ctx, w_ref[...], preferred_element_type=jnp.float32)
+    attn = attn + bo_ref[...].astype(jnp.float32)[None, :]
+    if not deterministic and hidden_rate > 0.0:
+        keep2 = _keep_mask(seed_ref[0] + HIDDEN_SEED_OFFSET + b,
+                           hidden_rate, attn.shape)
+        inv2 = 1.0 / (1.0 - hidden_rate)
+        attn = jnp.where(keep2, attn * inv2, 0.0)
+    z = x_ref[0].astype(jnp.float32) + attn
+    mean = mean_ref[0, 0][:, None]
+    rstd = rstd_ref[0, 0][:, None]
+    zhat = (z - mean) * rstd
+
+    dy = dy_ref[0].astype(jnp.float32)
+    scale = sc_ref[...].astype(jnp.float32)[None, :]
+
+    # ---- LN backward ----------------------------------------------------
+    g = dy * scale
+    gm = jnp.mean(g, axis=-1, keepdims=True)
+    gzm = jnp.mean(g * zhat, axis=-1, keepdims=True)
+    dz = rstd * (g - gm - zhat * gzm)                   # [L, HD] f32
+
+    # grid-accumulated parameter grads (sequential TPU grid)
+    @pl.when(b == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+    dsc_ref[...] += jnp.sum(dy * zhat, axis=0)
+    dlb_ref[...] += jnp.sum(dy, axis=0)
+
+    dx_ref[0] = dz.astype(dx_ref.dtype)                 # residual path
+    dattn = dz
+    if not deterministic and hidden_rate > 0.0:
+        dattn = jnp.where(keep2, dattn * inv2, 0.0)
+    dattn_b = dattn.astype(dt)
+    # dWo = ctx^T @ dattn (contract over L)
+    dw_ref[...] += jax.lax.dot_general(
+        ctx, dattn_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbo_ref[...] += jnp.sum(dattn, axis=0)
+    # dctx = dattn @ Wo^T (contract features)
+    dctx = jax.lax.dot_general(dattn_b, w_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(dt)
+
+    # ---- per-head attention backward (ops/attention.py math) -----------
+    for h in range(H):
+        cols = slice(h * D, (h + 1) * D)
+        q = q_ref[0, :, cols]
+        k = k_ref[0, :, cols]
+        v = v_ref[0, :, cols]
+        do = dctx[:, cols]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(D)) + bias_row
+        p = (jnp.exp(s - m_ref[0, 0, h][:, None])
+             / l_ref[0, 0, h][:, None])
+        if not deterministic and attn_rate > 0.0:
+            keep = _keep_mask(seed_ref[0] + b * H + h, attn_rate, p.shape)
+            inv = 1.0 / (1.0 - attn_rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+            dv_ref[0, :, cols] = jax.lax.dot_general(
+                pd.astype(dt), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dp = jnp.where(keep, dpd * inv, 0.0)
+        else:
+            dv_ref[0, :, cols] = jax.lax.dot_general(
+                p.astype(dt), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row)).astype(dt)
+        sc = 1.0 / math.sqrt(D)
+        dq_ref[0, :, cols] = (
+            jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            * sc).astype(dq_ref.dtype)
+        dk_ref[0, :, cols] = (
+            jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            * sc).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def attention_block(q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
+                    n_heads: int, attn_rate: float = 0.0,
+                    hidden_rate: float = 0.0, eps: float = 1e-12,
+                    deterministic: bool = True):
+    """Fused MHA + out-proj + dropout + residual + LayerNorm.
+
+    q,k,v,x: [B, L, H*D]; wo: [H*D, H*D]; bo/scale/ln_bias: [H*D];
+    bias: [B, L] additive key mask; seed: int32 scalar. Returns y in
+    x.dtype."""
+    y, *_ = _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
+                        n_heads, attn_rate, hidden_rate, eps,
+                        deterministic)
+    return y
+
+
+def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
+                attn_rate, hidden_rate, eps, deterministic,
+                interpret=False):
+    B, L, HD = q.shape
+    H = n_heads
+    L_pad = -(-L // LANE) * LANE
+    qp, kp, vp, xp = (_pad_l(t, L_pad, 1) for t in (q, k, v, x))
+    biasp = _pad_l(bias, L_pad, 1) + jnp.where(
+        jnp.arange(L_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
+    biasp = biasp[:, None, :]
+    if seed is None:
+        seed = jnp.int32(0)
+
+    kern = functools.partial(_fwd_kernel, n_heads=H, attn_rate=attn_rate,
+                             hidden_rate=hidden_rate, eps=eps,
+                             deterministic=deterministic)
+    full = lambda b: (b, 0, 0)
+    wspec = pl.BlockSpec((HD, HD), lambda b: (0, 0))
+    vec = pl.BlockSpec((HD,), lambda b: (0,))
+    y, ctx, m, l, mean, rstd = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            wspec, vec, vec, vec,
+            pl.BlockSpec((1, 1, L_pad), full),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, 1, H, L_pad), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, H, L_pad), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, 1, L_pad), full),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L_pad, HD), x.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, 1, H, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, H, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
+        ],
+        # the per-program working set (ctx + f32 intermediates + weight
+        # block) exceeds the default 16 MB scoped-VMEM stack at L>=384
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, xp,
+      wo, bo, scale, ln_bias, biasp)
+    return y[:, :L], ctx, m, l, mean, rstd
+
+
+def _block_fwd(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
+               attn_rate, hidden_rate, eps, deterministic):
+    y, ctx, m, l, mean, rstd = _block_call(
+        q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
+        attn_rate, hidden_rate, eps, deterministic)
+    # tag residuals for selective-remat policies (models/bert.py
+    # remat="dots" saves "flash_stats"): without these the policy would
+    # re-run the whole fused kernel in the backward
+    from jax.ad_checkpoint import checkpoint_name
+    ctx = checkpoint_name(ctx, "flash_stats")
+    m = checkpoint_name(m, "flash_stats")
+    l = checkpoint_name(l, "flash_stats")
+    mean = checkpoint_name(mean, "flash_stats")
+    rstd = checkpoint_name(rstd, "flash_stats")
+    return y, (q, k, v, x, wo, bo, scale, bias, seed, ctx, m, l, mean, rstd)
+
+
+def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
+               res, dy):
+    q, k, v, x, wo, bo, scale, bias, seed, ctx, m, l, mean, rstd = res
+    B, L, HD = q.shape
+    H = n_heads
+    L_pad = m.shape[-1]
+    qp, kp, vp, xp = (_pad_l(t, L_pad, 1) for t in (q, k, v, x))
+    dyp = _pad_l(dy, L_pad, 1)
+    biasp = _pad_l(bias, L_pad, 1) + jnp.where(
+        jnp.arange(L_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
+    biasp = biasp[:, None, :]
+    if seed is None:
+        seed = jnp.int32(0)
+    l = jnp.where(l == 0.0, 1.0, l)
+    rstd = jnp.where(rstd == 0.0, 1.0, rstd)
+
+    kern = functools.partial(_bwd_kernel, n_heads=H, attn_rate=attn_rate,
+                             hidden_rate=hidden_rate, eps=eps,
+                             deterministic=deterministic)
+    full = lambda b: (b, 0, 0)
+    acc2 = pl.BlockSpec((HD, HD), lambda b: (0, 0))
+    acc1 = pl.BlockSpec((HD,), lambda b: (0,))
+    dq, dk, dv, dx, dw, dbo, dsc, dlb = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            acc2, acc1, acc1,
+            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, 1, H, L_pad), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, H, L_pad), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, L_pad, HD), full),
+            acc2, acc1, acc1, acc1,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L_pad, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, HD), v.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, HD), x.dtype),
+            jax.ShapeDtypeStruct((HD, HD), jnp.float32),
+            jax.ShapeDtypeStruct((HD,), jnp.float32),
+            jax.ShapeDtypeStruct((HD,), jnp.float32),
+            jax.ShapeDtypeStruct((HD,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=False,
+    )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, xp,
+      wo, bo, scale, biasp, ctx, m, l, mean, rstd, dyp)
+    return (dq[:, :L], dk[:, :L], dv[:, :L], dx[:, :L],
+            dw.astype(wo.dtype), dbo.astype(bo.dtype),
+            dsc.astype(scale.dtype), dlb.astype(scale.dtype),
+            jnp.zeros_like(bias), jnp.zeros_like(seed))
+
+
+attention_block.defvjp(_block_fwd, _block_bwd)
+
+
+def attention_block_interpret(q, k, v, x, wo, bo, scale, ln_bias, bias,
+                              seed=None, n_heads=1, attn_rate=0.0,
+                              hidden_rate=0.0, eps=1e-12,
+                              deterministic=True):
+    """Interpret-mode forward for CPU tests."""
+    y, *_ = _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
+                        n_heads, attn_rate, hidden_rate, eps,
+                        deterministic, interpret=True)
+    return y
