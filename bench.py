@@ -50,7 +50,8 @@ def model_flops_per_pair(mcfg, seq: int, queue_size: int,
 
 def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           attention_impl: str = "auto", hidden_act: str = "gelu_tanh",
-          unroll: int = 1, ema_every_step: bool = False):
+          unroll: int = 1, ema_every_step: bool = False,
+          ffn_impl: str = "xla"):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config
@@ -65,7 +66,8 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
                            intermediate_size=3072,
                            max_position_embeddings=512, dtype="bfloat16",
                            attention_impl=attention_impl,
-                           hidden_act=hidden_act, scan_unroll=unroll)
+                           hidden_act=hidden_act, scan_unroll=unroll,
+                           ffn_impl=ffn_impl)
     remat_arg = {"none": False, "full": True, "dots": "dots"}.get(
         remat, remat)
     cfg = Config(queue_size=queue_size, temperature=0.05, momentum=0.9995,
@@ -91,11 +93,11 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
 def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         remat, attention_impl: str = "auto",
         hidden_act: str = "gelu_tanh", unroll: int = 1,
-        ema_every_step: bool = False):
+        ema_every_step: bool = False, ffn_impl: str = "xla"):
     import jax
     step_fn, st, b, cfg = build(batch, accum, seq, queue_size, remat,
                                 attention_impl, hidden_act, unroll,
-                                ema_every_step)
+                                ema_every_step, ffn_impl)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
@@ -141,6 +143,9 @@ def main():
                    choices=("gelu", "gelu_tanh"))
     p.add_argument("--unroll", type=int, default=1)
     p.add_argument("--ema_every_step", action="store_true")
+    p.add_argument("--ffn", default="fused", choices=("xla", "fused"))
+    # fused FFN block (ops/ffn_block.py): 526.3 vs 501.4 pairs/s with
+    # the XLA FFN chain (both under flash_block attention)
     args = p.parse_args()
 
     batch = args.batch
@@ -150,7 +155,7 @@ def main():
             sps, spstep, loss = run(batch, args.accum, args.seq,
                                     args.queue_size, args.steps, remat,
                                     args.attention, args.gelu, args.unroll,
-                                    args.ema_every_step)
+                                    args.ema_every_step, args.ffn)
             break
         except Exception as e:
             oom = ("RESOURCE_EXHAUSTED" in str(e)

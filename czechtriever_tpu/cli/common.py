@@ -46,7 +46,8 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
         mcfg = bert.BertConfig(**{**mcfg.__dict__, "dtype": dtype,
                                   "hidden_dropout_prob": cfg.dropout,
                                   "attention_probs_dropout_prob": cfg.dropout,
-                                  "attention_impl": cfg.attention_impl})
+                                  "attention_impl": cfg.attention_impl,
+                                  "ffn_impl": cfg.ffn_impl})
         try:
             tokenizer = load_tokenizer(model_dir)
         except Exception:
@@ -70,14 +71,16 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
         mcfg = bert.BertConfig(**{**mcfg.__dict__, "dtype": dtype,
                                   "hidden_dropout_prob": cfg.dropout,
                                   "attention_probs_dropout_prob": cfg.dropout,
-                                  "attention_impl": cfg.attention_impl})
+                                  "attention_impl": cfg.attention_impl,
+                                  "ffn_impl": cfg.ffn_impl})
         return None, mcfg, None
 
     logger.warning("model id %r not found locally; using random-init "
                    "BERT-base geometry", cfg.retriever_model_id)
     mcfg = bert.BertConfig(dtype=dtype, hidden_dropout_prob=cfg.dropout,
                            attention_probs_dropout_prob=cfg.dropout,
-                           attention_impl=cfg.attention_impl)
+                           attention_impl=cfg.attention_impl,
+                           ffn_impl=cfg.ffn_impl)
     return None, mcfg, None
 
 

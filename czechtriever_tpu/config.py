@@ -64,6 +64,9 @@ class Config:
     # out-proj + dropout + residual + LN kernel, ops/attention_block.py
     # — fastest measured train config on v5e, see docs/PERF.md)
     attention_impl: str = "auto"
+    # "fused" runs the FFN half as the fused ffn_block kernel (only
+    # meaningful with attention_impl="flash_block")
+    ffn_impl: str = "xla"
     rho: float = 0.05  # SAM neighborhood size (finetuning.py:75-80)
     contrastive_mode: str = "moco"
     queue_size: int = 65536

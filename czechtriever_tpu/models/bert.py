@@ -70,6 +70,10 @@ class BertConfig:
     # exposes static per-layer indices so XLA can keep the stacked
     # weight-gradient updates in place instead of copying the buffer
     scan_unroll: int = 1
+    # "fused": fused FFN block kernel (ops/ffn_block.py — matmul, gelu,
+    # matmul, dropout, residual, LN in one program; only used together
+    # with attention_impl="flash_block"); "xla" (default)
+    ffn_impl: str = "xla"
     # "fused": Pallas LayerNorm kernel (ops/layernorm.py, TPU only);
     # "xla" (default): matmul-stats LN — measured equal or slightly
     # faster than the fused kernel both standalone (3.05 vs 3.76 ms
@@ -248,6 +252,21 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
             rate if not det else 0.0,
             cfg.hidden_dropout_prob if not det else 0.0,
             cfg.layer_norm_eps, det)
+        if cfg.ffn_impl == "fused":
+            from czechtriever_tpu.ops import ffn_block as fb
+            h2_rng = rngs.get("h2")
+            det2 = deterministic or h2_rng is None
+            seed2 = (jax.random.bits(h2_rng, (), "uint32")
+                     .astype(jnp.int32) if not det2 else jnp.int32(0))
+            return fb.ffn_block(
+                x, lp["ffn_in_kernel"].astype(dt),
+                lp["ffn_in_bias"].astype(dt),
+                lp["ffn_out_kernel"].astype(dt),
+                lp["ffn_out_bias"].astype(dt),
+                lp["ffn_ln"]["scale"].astype(dt),
+                lp["ffn_ln"]["bias"].astype(dt), seed2,
+                cfg.hidden_dropout_prob if not det2 else 0.0,
+                cfg.layer_norm_eps, cfg.hidden_act == "gelu_tanh", det2)
         h = proj(x, lp["ffn_in_kernel"], lp["ffn_in_bias"])
         h = jax.nn.gelu(h, approximate=cfg.hidden_act == "gelu_tanh")
         h = proj(h, lp["ffn_out_kernel"], lp["ffn_out_bias"])

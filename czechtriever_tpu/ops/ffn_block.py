@@ -1,0 +1,298 @@
+"""Fused FFN *block* kernel (experimental, opt-in) — the sibling of
+ops/attention_block.py for the second half of a BERT layer:
+
+    pre = x @ W1 + b1
+    a   = gelu(pre)                      (erf or tanh form, static)
+    out = a @ W2 + b2
+    h   = dropout(out)
+    z   = x + h
+    y   = LayerNorm(z) * scale + ln_bias
+
+Removes the gelu/dropout/residual HBM round-trips and the FFN-side
+LayerNorm reduce fusion. Residuals saved for backward: ``pre`` (bf16,
+the same tensor XLA's no-remat autodiff saves) and ``z`` (so the
+backward never re-runs a matmul); dW1/dW2/db1/db2/dscale/dln accumulate
+across the sequential grid in VMEM (pl.when-initialized at program 0).
+
+Enable with ``BertConfig(ffn_impl="fused")`` (requires
+attention_impl="flash_block" — the two fusions are measured together).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from czechtriever_tpu.ops.attention import LANE, _keep_mask, _pad_l
+
+FFN_SEED_OFFSET = 0x20000000  # disjoint from attention_block's streams
+
+_SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
+_C = 0.044715
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|error| < 1.5e-7): Mosaic has
+    no erf lowering (NotImplementedError: ... erf), and 1.5e-7 is far
+    below bf16 activation resolution."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x, tanh_approx: bool):
+    if tanh_approx:
+        t = jnp.tanh(_SQRT_2_OVER_PI * (x + _C * x ** 3))
+        return 0.5 * x * (1.0 + t)
+    return 0.5 * x * (1.0 + _erf(x / math.sqrt(2.0)))
+
+
+def _gelu_grad(x, tanh_approx: bool):
+    """d gelu / dx, matching jax.nn.gelu's two forms."""
+    if tanh_approx:
+        u = _SQRT_2_OVER_PI * (x + _C * x ** 3)
+        t = jnp.tanh(u)
+        du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _C * x * x)
+        return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+    cdf = 0.5 * (1.0 + _erf(x / math.sqrt(2.0)))
+    pdf = jnp.exp(-0.5 * x * x) / math.sqrt(2.0 * math.pi)
+    return cdf + x * pdf
+
+
+def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
+                lb_ref, y_ref, pre_ref, z_ref, mean_ref, rstd_ref, *,
+                hidden_rate, eps, tanh_gelu, deterministic):
+    b = pl.program_id(0)
+    x = x_ref[0]
+    pre = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    pre = pre + b1_ref[...].astype(jnp.float32)[None, :]
+    pre_b = pre.astype(x.dtype)
+    pre_ref[0] = pre_b
+    a = _gelu(pre_b.astype(jnp.float32), tanh_gelu).astype(x.dtype)
+    out = jnp.dot(a, w2_ref[...], preferred_element_type=jnp.float32)
+    out = out + b2_ref[...].astype(jnp.float32)[None, :]
+    if not deterministic and hidden_rate > 0.0:
+        keep = _keep_mask(seed_ref[0] + FFN_SEED_OFFSET + b, hidden_rate,
+                          out.shape)
+        out = jnp.where(keep, out * (1.0 / (1.0 - hidden_rate)), 0.0)
+    z = x.astype(jnp.float32) + out
+    z_ref[0] = z.astype(z_ref.dtype)
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mean
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (zc * rstd) * sc_ref[...].astype(jnp.float32)[None, :] \
+        + lb_ref[...].astype(jnp.float32)[None, :]
+    y_ref[0] = y.astype(y_ref.dtype)
+    mean_ref[0, 0] = mean[:, 0]
+    rstd_ref[0, 0] = rstd[:, 0]
+
+
+def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
+                mean_ref, rstd_ref, dy_ref, dx_ref, dw1_ref, db1_ref,
+                dw2_ref, db2_ref, dsc_ref, dlb_ref, *, hidden_rate, eps,
+                tanh_gelu, deterministic):
+    b = pl.program_id(0)
+    dt = x_ref.dtype
+    z = z_ref[0].astype(jnp.float32)
+    mean = mean_ref[0, 0][:, None]
+    rstd = rstd_ref[0, 0][:, None]
+    zhat = (z - mean) * rstd
+    dy = dy_ref[0].astype(jnp.float32)
+    scale = sc_ref[...].astype(jnp.float32)[None, :]
+
+    @pl.when(b == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+    dsc_ref[...] += jnp.sum(dy * zhat, axis=0)
+    dlb_ref[...] += jnp.sum(dy, axis=0)
+
+    g = dy * scale
+    gm = jnp.mean(g, axis=-1, keepdims=True)
+    gzm = jnp.mean(g * zhat, axis=-1, keepdims=True)
+    dz = rstd * (g - gm - zhat * gzm)
+
+    dout = dz
+    if not deterministic and hidden_rate > 0.0:
+        keep = _keep_mask(seed_ref[0] + FFN_SEED_OFFSET + b, hidden_rate,
+                          dout.shape)
+        dout = jnp.where(keep, dout * (1.0 / (1.0 - hidden_rate)), 0.0)
+    dout_b = dout.astype(dt)
+
+    pre = pre_ref[0].astype(jnp.float32)
+    a = _gelu(pre, tanh_gelu).astype(dt)
+    # dW2 = a^T @ dout (contract over L); db2
+    dw2_ref[...] += jax.lax.dot_general(
+        a, dout_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dout, axis=0)
+    # da = dout @ W2^T; dpre = da * gelu'(pre)
+    da = jax.lax.dot_general(dout_b, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpre = (da * _gelu_grad(pre, tanh_gelu)).astype(dt)
+    x = x_ref[0]
+    dw1_ref[...] += jax.lax.dot_general(
+        x, dpre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dpre.astype(jnp.float32), axis=0)
+    dx_mm = jax.lax.dot_general(dpre, w1_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dx_ref[0] = (dz + dx_mm).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def ffn_block(x, w1, b1, w2, b2, scale, ln_bias, seed,
+              hidden_rate: float = 0.0, eps: float = 1e-12,
+              tanh_gelu: bool = True, deterministic: bool = True):
+    """Fused FFN + dropout + residual + LayerNorm. x: [B, L, D];
+    w1: [D, F]; w2: [F, D]. Returns y in x.dtype."""
+    y, *_ = _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed,
+                        hidden_rate, eps, tanh_gelu, deterministic)
+    return y
+
+
+def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
+                eps, tanh_gelu, deterministic, interpret=False):
+    B, L, D = x.shape
+    F = w1.shape[1]
+    L_pad = -(-L // LANE) * LANE
+    xp = _pad_l(x, L_pad, 1)
+    if seed is None:
+        seed = jnp.int32(0)
+
+    kern = functools.partial(_fwd_kernel, hidden_rate=hidden_rate,
+                             eps=eps, tanh_gelu=tanh_gelu,
+                             deterministic=deterministic)
+    full = lambda b: (b, 0, 0)
+    y, pre, z, mean, rstd = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((D, F), lambda b: (0, 0)),
+            pl.BlockSpec((F,), lambda b: (0,)),
+            pl.BlockSpec((F, D), lambda b: (0, 0)),
+            pl.BlockSpec((D,), lambda b: (0,)),
+            pl.BlockSpec((D,), lambda b: (0,)),
+            pl.BlockSpec((D,), lambda b: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((1, L_pad, F), full),
+            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, 1, L_pad), full),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, F), x.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.reshape(seed.astype(jnp.int32), (1,)), xp, w1, b1, w2, b2,
+      scale, ln_bias)
+    return y[:, :L], pre, z, mean, rstd
+
+
+def _block_fwd(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
+               eps, tanh_gelu, deterministic):
+    y, pre, z, mean, rstd = _block_call(
+        x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate, eps,
+        tanh_gelu, deterministic)
+    from jax.ad_checkpoint import checkpoint_name
+    pre = checkpoint_name(pre, "flash_stats")
+    z = checkpoint_name(z, "flash_stats")
+    mean = checkpoint_name(mean, "flash_stats")
+    rstd = checkpoint_name(rstd, "flash_stats")
+    return y, (x, w1, w2, scale, seed, pre, z, mean, rstd)
+
+
+def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
+    x, w1, w2, scale, seed, pre, z, mean, rstd = res
+    B, L, D = x.shape
+    F = w1.shape[1]
+    L_pad = pre.shape[1]
+    xp = _pad_l(x, L_pad, 1)
+    dyp = _pad_l(dy, L_pad, 1)
+    if seed is None:
+        seed = jnp.int32(0)
+    rstd = jnp.where(rstd == 0.0, 1.0, rstd)
+
+    kern = functools.partial(_bwd_kernel, hidden_rate=hidden_rate,
+                             eps=eps, tanh_gelu=tanh_gelu,
+                             deterministic=deterministic)
+    full = lambda b: (b, 0, 0)
+    dx, dw1, db1, dw2, db2, dsc, dlb = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((D, F), lambda b: (0, 0)),
+            pl.BlockSpec((F, D), lambda b: (0, 0)),
+            pl.BlockSpec((D,), lambda b: (0,)),
+            pl.BlockSpec((1, L_pad, F), full),
+            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, L_pad, D), full),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((D, F), lambda b: (0, 0)),
+            pl.BlockSpec((F,), lambda b: (0,)),
+            pl.BlockSpec((F, D), lambda b: (0, 0)),
+            pl.BlockSpec((D,), lambda b: (0,)),
+            pl.BlockSpec((D,), lambda b: (0,)),
+            pl.BlockSpec((D,), lambda b: (0,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
+            jax.ShapeDtypeStruct((D, F), jnp.float32),
+            jax.ShapeDtypeStruct((F,), jnp.float32),
+            jax.ShapeDtypeStruct((F, D), jnp.float32),
+            jax.ShapeDtypeStruct((D,), jnp.float32),
+            jax.ShapeDtypeStruct((D,), jnp.float32),
+            jax.ShapeDtypeStruct((D,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=False,
+    )(jnp.reshape(seed.astype(jnp.int32), (1,)), xp, w1, w2, scale,
+      pre, z, mean, rstd, dyp)
+    return (dx[:, :L], dw1.astype(w1.dtype), db1.astype(w1.dtype),
+            dw2.astype(w2.dtype), db2.astype(w2.dtype),
+            dsc.astype(scale.dtype), dlb.astype(scale.dtype),
+            jnp.zeros_like(seed))
+
+
+ffn_block.defvjp(_block_fwd, _block_bwd)
+
+
+def ffn_block_interpret(x, w1, b1, w2, b2, scale, ln_bias, seed=None,
+                        hidden_rate=0.0, eps=1e-12, tanh_gelu=True,
+                        deterministic=True):
+    """Interpret-mode forward for CPU tests."""
+    y, *_ = _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed,
+                        hidden_rate, eps, tanh_gelu, deterministic,
+                        interpret=True)
+    return y
