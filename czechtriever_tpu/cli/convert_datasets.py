@@ -124,6 +124,14 @@ def convert_annotations(data_folder: str, output_dir: str,
     first seen after any duplicate gets an id that later re-references
     point past — ids here are d<insertion-index>). Scores: positive=2,
     else 0 (:141-150, the intermediate 3-way score is dead code there).
+
+    Ordering divergence vs the reference: annotations merge in sorted
+    filename/line order, while create_beir_dataset.py groups per-user
+    first — so with ``conflicts="first"`` the winning label for a
+    (query, doc) pair annotated by multiple users, and the doc-id/query
+    emission order, can differ from the reference's output for the same
+    dumps. Diffs against reference-built eval sets are expected at
+    exactly those conflicting pairs.
     """
     per_query = {}  # query_string -> {doc_text: (label, author)}
     order = []

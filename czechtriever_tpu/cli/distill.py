@@ -36,23 +36,46 @@ logger = logging.getLogger(__name__)
 
 
 def resolve_teacher(cfg: Config, mcfg: bert.BertConfig):
-    """Teacher config + params: a local HF dir (distill.py:504-509 loads
-    BAAI/bge-multilingual-gemma2; any BERT-family local dir works here) or
-    a random-init copy of the student geometry for smoke runs."""
+    """Teacher config + params. A local HF dir may hold either family:
+    a decoder LM with gemma geometry (the reference's actual teacher,
+    BAAI/bge-multilingual-gemma2 — distill.py:504-509; detected via
+    ``model_type``/GQA keys in config.json) or any BERT-family encoder.
+    Falls back to a random-init copy of the student geometry for smoke
+    runs."""
     tdir = common.resolve_model_dir(cfg.teacher_model_id)
     if tdir is not None:
         with open(os.path.join(tdir, "config.json")) as f:
-            tcfg = bert.BertConfig.from_hf_dict(json.load(f))
-        tcfg = bert.BertConfig(**{**tcfg.__dict__, "dtype": cfg.dtype,
-                                  "hidden_dropout_prob": 0.0,
-                                  "attention_probs_dropout_prob": 0.0})
-        try:
-            tparams, _ = hf_interop.load_hf_dir(tdir)
-        except FileNotFoundError:
-            import jax
-            logger.warning("no weight file in %s; random-init teacher",
-                           tdir)
-            tparams = bert.init_params(jax.random.key(cfg.seed + 99), tcfg)
+            hf_cfg = json.load(f)
+        is_decoder_lm = ("gemma" in str(hf_cfg.get("model_type", ""))
+                         or "num_key_value_heads" in hf_cfg)
+        if is_decoder_lm:
+            from czechtriever_tpu.models import gemma
+            tcfg = gemma.GemmaConfig.from_hf_dict(hf_cfg)
+            tcfg = gemma.GemmaConfig(**{**tcfg.__dict__,
+                                        "dtype": cfg.dtype})
+            try:
+                tparams, tcfg = gemma.load_hf_dir(tdir)
+                tcfg = gemma.GemmaConfig(**{**tcfg.__dict__,
+                                            "dtype": cfg.dtype})
+            except FileNotFoundError:
+                import jax
+                logger.warning("no weight file in %s; random-init gemma "
+                               "teacher", tdir)
+                tparams = gemma.init_params(
+                    jax.random.key(cfg.seed + 99), tcfg)
+        else:
+            tcfg = bert.BertConfig.from_hf_dict(hf_cfg)
+            tcfg = bert.BertConfig(**{**tcfg.__dict__, "dtype": cfg.dtype,
+                                      "hidden_dropout_prob": 0.0,
+                                      "attention_probs_dropout_prob": 0.0})
+            try:
+                tparams, _ = hf_interop.load_hf_dir(tdir)
+            except FileNotFoundError:
+                import jax
+                logger.warning("no weight file in %s; random-init teacher",
+                               tdir)
+                tparams = bert.init_params(
+                    jax.random.key(cfg.seed + 99), tcfg)
         ttok = None
         try:
             from czechtriever_tpu.data.tokenizer import load_tokenizer

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from czechtriever_tpu.data.normalize_text import normalize as normalize_fn
+from czechtriever_tpu.data.tokenizer import batch_encode_any
 from czechtriever_tpu.models import bert
 from czechtriever_tpu.models.contriever import encode as encode_fn
 from czechtriever_tpu.evaluation import metrics as M
@@ -108,7 +109,6 @@ class DenseEncoder:
         for s in range(0, len(texts), batch_size):
             chunk = texts[s:s + batch_size]
             n_real = len(chunk)
-            from czechtriever_tpu.data.tokenizer import batch_encode_any
             ids, mask = batch_encode_any(
                 self.tokenizer, chunk, max_length=self.max_length,
                 add_special_tokens=self.add_special_tokens)

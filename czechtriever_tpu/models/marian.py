@@ -475,7 +475,6 @@ def beam_search_generate(params: Params, cfg: MarianConfig, input_ids,
 
 def _mha_proj_kv(kv_in, p, heads):
     B = kv_in.shape[0]
-    hd = kv_in.shape[-1] // heads if False else None
     D = p["k_kernel"].shape[1]
     hd = D // heads
     k = (jnp.dot(kv_in, p["k_kernel"]) + p["k_bias"]).reshape(

@@ -296,7 +296,11 @@ def _flash_bwd_vjp(n_heads, rate, deterministic, res, g):
     q, k, v, bias, seed, m, l = res
     B, L, HD = q.shape
     H = n_heads
-    G = _pick_head_groups(H, HD)
+    # derive the head-group count from the saved stats layout
+    # [B, G, hpg, L_pad] rather than re-reading CZT_ATTN_HEAD_GROUPS:
+    # if the env var changed between the fwd and bwd traces the two
+    # reads could disagree and silently corrupt gradients
+    G = m.shape[1]
     hpg = H // G
     W = HD // G
     L_pad = m.shape[-1]

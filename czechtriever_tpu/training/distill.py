@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from czechtriever_tpu.models import bert
+from czechtriever_tpu.models import bert, gemma
 from czechtriever_tpu.models.contriever import encode
 from czechtriever_tpu.ops import losses
 from czechtriever_tpu.training.state import DistillState
@@ -54,12 +54,26 @@ Stats = Dict[str, jnp.ndarray]
 DISTILL_LOSS_MULTIPLIER = 100.0  # distill.py:30
 
 
-def make_distill_step(cfg, mcfg: bert.BertConfig, tcfg: bert.BertConfig,
+def make_distill_step(cfg, mcfg: bert.BertConfig, tcfg,
                       tx, teacher_pooling: str = "last") -> Callable:
     """Build the distill train step:
-    (state, batch[A,B,L], rng) -> (state, stats)."""
+    (state, batch[A,B,L], rng) -> (state, stats).
+
+    ``tcfg`` selects the teacher family: a ``bert.BertConfig``
+    (BERT/XLM-R-geometry teachers) or a ``gemma.GemmaConfig`` — the
+    causal-LM architecture of the reference's actual teacher
+    ``BAAI/bge-multilingual-gemma2`` (distill.py:504-509)."""
     momentum = cfg.momentum
     w = cfg.distill_weight
+
+    if isinstance(tcfg, gemma.GemmaConfig):
+        def teacher_encode(params_t, ids, mask):
+            return gemma.encode(params_t, tcfg, ids, mask,
+                                pooling_mode=teacher_pooling)
+    else:
+        def teacher_encode(params_t, ids, mask):
+            return encode(params_t, tcfg, ids, mask, deterministic=True,
+                          pooling_mode=teacher_pooling)
 
     def train_step(state: DistillState, batch: Batch,
                    rng: jax.Array) -> Tuple[DistillState, Stats]:
@@ -107,9 +121,7 @@ def make_distill_step(cfg, mcfg: bert.BertConfig, tcfg: bert.BertConfig,
             # (distill.py:404-408); time-sliced on the same mesh
             t_ids = mb["t_tokens"] if has_teacher_tokens else mb["q_tokens"]
             t_mask = mb["t_mask"] if has_teacher_tokens else mb["q_mask"]
-            teacher_q = encode(state.params_t, tcfg, t_ids, t_mask,
-                               deterministic=True,
-                               pooling_mode=teacher_pooling)
+            teacher_q = teacher_encode(state.params_t, t_ids, t_mask)
             teacher_q = jax.lax.stop_gradient(teacher_q)
 
             (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -9,6 +9,7 @@ and the whole state donates cleanly into the jitted train step.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional
 
 import jax
@@ -87,24 +88,34 @@ def create_moco_state(rng: jax.Array, cfg, mcfg: bert.BertConfig, tx,
     params_k = jax.tree.map(jnp.copy, params)
     init_params = (jax.tree.map(jnp.copy, params)
                    if cfg.weight_decay_from_init else None)
+    queue_dtype = jnp.dtype(getattr(cfg, "queue_dtype", "float32"))
+    if queue_dtype != jnp.float32:
+        logging.getLogger(__name__).info(
+            "MoCo negative queue stored as %s (reference keeps f32, "
+            "src/moco.py:218-221; pass --queue_dtype float32 for strict "
+            "parity)", queue_dtype.name)
     return MoCoState(
         step=jnp.int32(0), params_q=params, params_k=params_k,
         opt_state=tx.init(params),
         queue=init_queue(q_rng, cfg.queue_size, cfg.projection_size,
-                         dtype=jnp.dtype(getattr(cfg, "queue_dtype",
-                                                 "float32"))),
+                         dtype=queue_dtype),
         queue_ptr=jnp.int32(0), init_params=init_params)
 
 
 def create_distill_state(rng: jax.Array, cfg, mcfg: bert.BertConfig,
-                         tcfg: bert.BertConfig, tx,
+                         tcfg, tx,
                          params: Optional[Any] = None,
                          teacher_params: Optional[Any] = None) -> DistillState:
+    """``tcfg``: bert.BertConfig or gemma.GemmaConfig (the reference
+    teacher's decoder-LM family, distill.py:504-509)."""
     p_rng, q_rng, t_rng = jax.random.split(rng, 3)
     moco = create_moco_state(jax.random.fold_in(p_rng, 0), cfg, mcfg, tx,
                              params=params)
     if teacher_params is None:
-        teacher_params = bert.init_params(t_rng, tcfg)
+        from czechtriever_tpu.models import gemma
+        init = (gemma.init_params if isinstance(tcfg, gemma.GemmaConfig)
+                else bert.init_params)
+        teacher_params = init(t_rng, tcfg)
     teacher_params = jax.tree.map(jnp.asarray, teacher_params)
     del q_rng
     return DistillState(

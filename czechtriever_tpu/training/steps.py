@@ -67,12 +67,24 @@ def cast_layer_params(params, dtype) -> Any:
 
     Embeddings stay f32: their wgrad is a scatter-ADD over repeated
     token ids, where bf16 accumulation genuinely loses mantissa.
+
+    LayerNorm scales/biases (attn_ln/ffn_ln) also stay f32: they are
+    tiny (no wgrad-traffic win) and the mixed-precision convention keeps
+    LN arithmetic in f32 on the XLA path (_layer_norm). The fused block
+    kernels cast them to the compute dtype themselves either way.
     """
     if jnp.dtype(dtype) == jnp.float32:
         return params
+
+    def cast(path, p):
+        if any(getattr(k, "key", None) in ("attn_ln", "ffn_ln")
+               for k in path):
+            return p
+        return p.astype(dtype)
+
     return {**params,
-            "layers": jax.tree.map(lambda p: p.astype(dtype),
-                                   params["layers"])}
+            "layers": jax.tree_util.tree_map_with_path(
+                cast, params["layers"])}
 
 
 

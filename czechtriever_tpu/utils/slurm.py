@@ -25,23 +25,23 @@ logger = logging.getLogger(__name__)
 
 def _usr1_handler(signum, frame):
     del frame
-    logger.warning("Signal handler called with signal %s", signum)
     proc_id = int(os.environ.get("SLURM_PROCID", jax_process_index()))
-    logger.warning("Host: %s - Global rank: %i", socket.gethostname(),
-                   proc_id)
+    logger.warning("SIGUSR1 (%s) on host %s, process %d — preemption "
+                   "warning", signum, socket.gethostname(), proc_id)
     job_id = os.environ.get("SLURM_JOB_ID")
     if proc_id == 0 and job_id:
-        logger.warning("Requeuing job %s", job_id)
+        logger.warning("requeueing SLURM job %s", job_id)
         os.system("scontrol requeue " + job_id)
     else:
-        logger.warning("Not the main process, no need to requeue.")
+        logger.warning("non-zero process (or no SLURM job id): exiting "
+                       "without requeue")
     sys.exit(-1)
 
 
 def _term_handler(signum, frame):
     del frame
-    logger.warning("Signal handler called with signal %s", signum)
-    logger.warning("Bypassing SIGTERM.")
+    logger.warning("SIGTERM (%s) ignored: requeue is driven by SIGUSR1",
+                   signum)
 
 
 def jax_process_index() -> int:

@@ -302,3 +302,112 @@ class TestDistillCLITeacherVocab:
         with open(os.path.join(out, "metrics.jsonl")) as f:
             recs = [json.loads(line) for line in f]
         assert any("train/distill_loss" in r for r in recs)
+
+
+class TestCausalTeacher:
+    """Distillation with the reference's actual teacher architecture — a
+    gemma-geometry decoder LM with last-token pooling
+    (/root/reference/distill.py:504-509, pooling :407)."""
+
+    def _setup(self, w=0.5):
+        from czechtriever_tpu.models import gemma
+        cfg = tiny_cfg(distill_weight=w)
+        mcfg = tiny_mcfg()
+        tcfg = gemma.GemmaConfig.tiny(vocab_size=211)
+        tx = optim.make_optimizer(cfg)
+        st = statelib.create_distill_state(jax.random.key(0), cfg, mcfg,
+                                           tcfg, tx)
+        step_fn = jax.jit(distill.make_distill_step(cfg, mcfg, tcfg, tx))
+        return cfg, mcfg, tcfg, tx, st, step_fn
+
+    def test_step_runs_and_uses_last_token_pool(self):
+        """The step's teacher embedding equals gemma.encode with
+        pooling='last' on the same tokens: re-derive the aux loss."""
+        from czechtriever_tpu.models import gemma
+        cfg, mcfg, tcfg, tx, st, step_fn = self._setup(w=1.0)
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng, A=1, B=4, L=12, vocab=211)
+        st1, stats = step_fn(st, batch, jax.random.key(1))
+        assert np.isfinite(float(stats["loss_contrastive"]))
+        assert np.isfinite(float(stats["distill_loss"]))
+
+        # independent re-derivation of the distill aux with the causal
+        # teacher (EMA + key-encode order mirrors the step)
+        teacher_q = gemma.encode(st.params_t, tcfg,
+                                 batch["q_tokens"][0], batch["q_mask"][0],
+                                 pooling_mode="last")
+        srng = jax.random.fold_in(jax.random.key(1), 0)
+        qr, _ = jax.random.split(jax.random.split(srng, 1)[0])
+        q = encode(st.params_q, mcfg, batch["q_tokens"][0],
+                   batch["q_mask"][0], dropout_rng=qr, deterministic=False,
+                   pooling_mode=cfg.pooling)
+        aux = losses.distill_sim_mse(q, teacher_q) * 100.0
+        np.testing.assert_allclose(float(stats["distill_loss"]),
+                                   float(aux), rtol=1e-4)
+
+    def test_teacher_frozen(self):
+        cfg, mcfg, tcfg, tx, st, step_fn = self._setup()
+        rng = np.random.default_rng(1)
+        batch = make_batch(rng, A=1, B=4, L=12, vocab=211)
+        st1, _ = step_fn(st, batch, jax.random.key(2))
+        for a, b in zip(jax.tree.leaves(st.params_t),
+                        jax.tree.leaves(st1.params_t)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and the student actually moved
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(st.params_q),
+                            jax.tree.leaves(st1.params_q)))
+        assert moved
+
+    def test_e2e_cli_with_gemma_teacher(self, tmp_path):
+        """Full distill CLI with a gemma-family teacher dir (own vocab ->
+        decode + instruction-prompt re-tokenization, distill.py:395-405)."""
+        from czechtriever_tpu.cli import distill as distill_cli
+        from czechtriever_tpu.data.tokenstream import write_token_file
+
+        svocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+            f"w{i}" for i in range(40)]
+        tvocab = svocab + ["instruct", "query", "web", "search", "given",
+                           "retrieve", "relevant", "passages", "that",
+                           "answer", "the", "a", ",", ".", "<", ">"]
+        sdir = tmp_path / "student"
+        tdir = tmp_path / "teacher"
+        os.makedirs(sdir)
+        with open(sdir / "config.json", "w") as f:
+            json.dump({"vocab_size": len(svocab), "hidden_size": 32,
+                       "num_hidden_layers": 2, "num_attention_heads": 2,
+                       "intermediate_size": 64,
+                       "max_position_embeddings": 128}, f)
+        with open(sdir / "vocab.txt", "w") as f:
+            f.write("\n".join(svocab) + "\n")
+        os.makedirs(tdir)
+        with open(tdir / "config.json", "w") as f:
+            json.dump({"model_type": "gemma2",
+                       "vocab_size": len(tvocab), "hidden_size": 32,
+                       "num_hidden_layers": 2, "num_attention_heads": 4,
+                       "num_key_value_heads": 2, "head_dim": 8,
+                       "intermediate_size": 64,
+                       "query_pre_attn_scalar": 8.0,
+                       "sliding_window": 8,
+                       "max_position_embeddings": 128}, f)
+        with open(tdir / "vocab.txt", "w") as f:
+            f.write("\n".join(tvocab) + "\n")
+
+        tokens = np.random.default_rng(0).integers(5, len(svocab), 60_000)
+        tf = str(tmp_path / "tokens.bin")
+        write_token_file(tokens, tf)
+        out = str(tmp_path / "run")
+        distill_cli.main([
+            "--train_data", tf, "--output_dir", out, "--save_dir", out,
+            "--queue_size", "32", "--distill_weight", "0.5",
+            "--chunk_length", "8", "--target_batch_size", "8",
+            "--per_device_batch_size", "1", "--total_steps", "2",
+            "--log_freq", "1", "--lr", "1e-3", "--random_init",
+            "--retriever_model_id", str(sdir),
+            "--teacher_model_id", str(tdir),
+            "--dtype", "float32", "--projection_size", "32",
+        ])
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert any("train/distill_loss" in r for r in recs)

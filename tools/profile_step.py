@@ -80,12 +80,13 @@ def group_of(name: str) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--accum", type=int, default=8)
+    ap.add_argument("--accum", type=int, default=16)
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--queue_size", type=int, default=131072)
-    ap.add_argument("--remat", default="dots")
-    ap.add_argument("--attention", default="auto")
+    ap.add_argument("--remat", default="none")
+    ap.add_argument("--attention", default="flash_block")
     ap.add_argument("--gelu", default="gelu_tanh")
+    ap.add_argument("--ffn", default="fused")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--logdir", default=None)
@@ -99,7 +100,7 @@ def main() -> None:
     logdir = args.logdir or tempfile.mkdtemp(prefix="czt_profile_")
     step_fn, st, b, cfg = bench.build(
         args.batch, args.accum, args.seq, args.queue_size, args.remat,
-        args.attention, args.gelu)
+        args.attention, args.gelu, ffn_impl=args.ffn)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     for _ in range(3):  # compile + warmup
         st, stats = step_fn(st, b, rng)
