@@ -43,12 +43,14 @@ NEG_INF = float("-inf")
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "q_block"))
 def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
                    codes: jnp.ndarray, ids_map: jnp.ndarray,
-                   list_sizes: jnp.ndarray, codebooks: jnp.ndarray,
-                   k: int, nprobe: int, q_block: int = 32
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   home_map: jnp.ndarray, list_sizes: jnp.ndarray,
+                   codebooks: jnp.ndarray, k: int, nprobe: int,
+                   q_block: int = 32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """queries [Q, D]; centroids [nlist, D]; codes [nlist, C, m] uint8;
     ids_map [nlist, C] int32 (row index into the global id list);
-    list_sizes [nlist]; codebooks [m, ksub, dsub].
+    home_map [nlist, C] int32 — the centroid each slot's PQ residual was
+    encoded against (== the list index except for capacity-spilled items,
+    see IVFPQIndex._build); list_sizes [nlist]; codebooks [m, ksub, dsub].
     Returns (scores [Q, k], global row ids [Q, k])."""
     Q, D = queries.shape
     nlist, C, m = codes.shape
@@ -61,7 +63,6 @@ def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
     ip = jnp.dot(q32, c32.T, preferred_element_type=jnp.float32)  # q.c
     sel_score = ip - 0.5 * jnp.sum(c32 * c32, axis=1)[None, :]
     _, probe_i = jax.lax.top_k(sel_score, nprobe)        # [Q, nprobe]
-    probe_ip = jnp.take_along_axis(ip, probe_i, axis=1)  # q.c of probed
 
     # per-query ADC LUT over the residual codebooks: [Q, m, ksub]
     qsub = q32.reshape(Q, m, dsub)
@@ -72,7 +73,7 @@ def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
     pad_q = (-Q) % q_block
 
     def block_fn(args):
-        qi, qip, qlut = args  # [qb, nprobe], [qb, nprobe], [qb, m*ksub]
+        qi, qip_full, qlut = args  # [qb, nprobe], [qb, nlist], [qb, m*ksub]
         gathered = codes[qi]              # [qb, nprobe, C, m]
         idx = gathered.astype(jnp.int32) + offsets[None]
 
@@ -80,7 +81,11 @@ def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
             return jnp.take(lf, ix).sum(axis=-1)  # [nprobe, C]
 
         res = jax.vmap(per_q)(qlut, idx)          # [qb, nprobe, C]
-        total = qip[:, :, None] + res
+        # score = q . c_home + q . residual — exact ADC inner product
+        # even for spilled slots stored under a neighboring centroid
+        home = home_map[qi]                       # [qb, nprobe, C]
+        ip_home = jax.vmap(jnp.take)(qip_full, home)
+        total = ip_home + res
         valid = (jax.lax.broadcasted_iota(jnp.int32, (C,), 0)[None, None, :]
                  < list_sizes[qi][:, :, None])
         total = jnp.where(valid, total, NEG_INF)
@@ -92,7 +97,7 @@ def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
 
     if pad_q:
         probe_i = jnp.pad(probe_i, ((0, pad_q), (0, 0)))
-        probe_ip = jnp.pad(probe_ip, ((0, pad_q), (0, 0)))
+        ip = jnp.pad(ip, ((0, pad_q), (0, 0)))
         lut_flat = jnp.pad(lut_flat, ((0, pad_q), (0, 0)))
     nb = probe_i.shape[0] // q_block
 
@@ -102,7 +107,7 @@ def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
     _, (v, i) = jax.lax.scan(
         scan_body, None,
         (probe_i.reshape(nb, q_block, nprobe),
-         probe_ip.reshape(nb, q_block, nprobe),
+         ip.reshape(nb, q_block, -1),
          lut_flat.reshape(nb, q_block, -1)))
     return v.reshape(-1, k)[:Q], i.reshape(-1, k)[:Q]
 
@@ -174,32 +179,82 @@ class IVFPQIndex:
         self._packed = None
 
     def _build(self):
+        """Pack the inverted lists into a dense [nlist, C, m] tensor.
+
+        C is capped at 4x the pigeonhole minimum ceil(N/nlist)
+        (lane-padded), NOT the max list size: one hot centroid must not
+        blow the tensor up to [nlist, ~N, m] on skewed data. The cap
+        bounds total slots at <= ~4N while leaving balanced assignments
+        (max list ~2x mean) untouched.
+        Items overflowing a full list "spill" to the nearest centroid
+        (by centroid-centroid distance from their home) that still has
+        space. Spilled slots keep their PQ residual vs the HOME centroid
+        and record it in ``home_map``, so the ADC score computed at
+        search time (q.c_home + q.residual) stays exact — the spill only
+        affects which queries *probe* the item, i.e. recall, never the
+        reported score.
+        """
         if self._packed is not None:
             return self._packed
         assign = np.concatenate(self._assign_chunks)
         codes = np.concatenate(self._code_chunks)
-        order = np.argsort(assign, kind="stable")
+        N = len(assign)
         sizes = np.bincount(assign, minlength=self.nlist)
-        C = max(int(sizes.max()), 1)
-        C = -(-C // 128) * 128  # lane-pad the list capacity
+        cap = max(4 * (-(-N // self.nlist)), 1)         # 4x pigeonhole
+        C = min(max(int(sizes.max()), 1), cap)
+        C = -(-C // 128) * 128                          # lane-pad
+        capped = np.minimum(sizes, C)
         packed_codes = np.zeros((self.nlist, C, self.m), np.uint8)
         ids_map = np.zeros((self.nlist, C), np.int32)
+        home_map = np.zeros((self.nlist, C), np.int32)
+        fill = np.zeros(self.nlist, np.int64)
+
+        order = np.argsort(assign, kind="stable")
         start = 0
+        spilled_rows: List[np.ndarray] = []
         for li in range(self.nlist):
             n = int(sizes[li])
             rows = order[start:start + n]
-            packed_codes[li, :n] = codes[rows]
-            ids_map[li, :n] = rows
+            keep = int(capped[li])
+            packed_codes[li, :keep] = codes[rows[:keep]]
+            ids_map[li, :keep] = rows[:keep]
+            home_map[li, :keep] = li
+            fill[li] = keep
+            if n > keep:
+                spilled_rows.append(rows[keep:])
             start += n
+
+        if spilled_rows:
+            spill = np.concatenate(spilled_rows)
+            # neighbor order by centroid-centroid L2 (a proxy for "lists
+            # a query probing the home list would also probe")
+            c = self.centroids
+            d2 = (np.sum(c * c, axis=1)[:, None]
+                  - 2.0 * (c @ c.T) + np.sum(c * c, axis=1)[None, :])
+            neighbor_order = np.argsort(d2, axis=1)
+            for row in spill:
+                home = int(assign[row])
+                for cand in neighbor_order[home]:
+                    if fill[cand] < C:
+                        slot = int(fill[cand])
+                        packed_codes[cand, slot] = codes[row]
+                        ids_map[cand, slot] = row
+                        home_map[cand, slot] = home
+                        fill[cand] += 1
+                        break
+                else:  # pragma: no cover — impossible: nlist*C >= N
+                    raise RuntimeError("no spill capacity left")
+
         self._packed = (jnp.asarray(packed_codes), jnp.asarray(ids_map),
-                        jnp.asarray(sizes.astype(np.int32)))
+                        jnp.asarray(home_map),
+                        jnp.asarray(fill.astype(np.int32)))
         return self._packed
 
     # -- search ----------------------------------------------------------------
     def search_knn(self, query_vectors: np.ndarray, top_docs: int,
                    index_batch_size: Optional[int] = None
                    ) -> List[Tuple[List[str], List[float]]]:
-        codes, ids_map, sizes = self._build()
+        codes, ids_map, home_map, sizes = self._build()
         bs = index_batch_size or self.query_batch
         queries = np.asarray(query_vectors, np.float32)
         nq = len(queries)
@@ -215,7 +270,7 @@ class IVFPQIndex:
                     [q, np.zeros((bs - n_real, q.shape[1]), np.float32)])
             v, i = ivf_adc_search(
                 jnp.asarray(q), jnp.asarray(self.centroids), codes,
-                ids_map, sizes, jnp.asarray(self.codebooks), k,
+                ids_map, home_map, sizes, jnp.asarray(self.codebooks), k,
                 min(self.nprobe, self.nlist))
             ids_block = id_arr[np.asarray(i)[:n_real]]
             for row_ids, row_v in zip(ids_block, np.asarray(v)[:n_real]):
@@ -248,8 +303,10 @@ class IVFPQIndex:
         self._packed = None
 
     def memory_bytes(self) -> int:
-        """Index memory at rest: packed codes + id map + centroids +
-        codebooks (BASELINE.md equal-memory accounting)."""
-        codes, ids_map, _ = self._build()
-        return int(codes.size + ids_map.size * 4 + self.centroids.size * 4
-                   + self.codebooks.size * 4)
+        """Index memory at rest: packed codes + id/home maps + centroids
+        + codebooks (BASELINE.md equal-memory accounting). Bounded at
+        ~nlist * p99-list-size even under pathological assignment skew
+        (see _build)."""
+        codes, ids_map, home_map, _ = self._build()
+        return int(codes.size + ids_map.size * 4 + home_map.size * 4
+                   + self.centroids.size * 4 + self.codebooks.size * 4)

@@ -80,7 +80,7 @@ class TestIVFPQ:
     def test_packing_covers_every_vector_once(self):
         corpus = clustered_corpus(n=700)
         ivf = self._build(corpus, nlist=8)
-        codes, ids_map, sizes = ivf._build()
+        codes, ids_map, home_map, sizes = ivf._build()
         sizes = np.asarray(sizes)
         assert sizes.sum() == 700
         rows = np.concatenate([np.asarray(ids_map)[li, :sizes[li]]
@@ -103,9 +103,98 @@ class TestIVFPQ:
         corpus = clustered_corpus(n=512)
         ivf = self._build(corpus, nlist=8, m=16)
         mem = ivf.memory_bytes()
-        codes, ids_map, _ = ivf._build()
-        expect = (codes.size + ids_map.size * 4
+        codes, ids_map, home_map, _ = ivf._build()
+        expect = (codes.size + ids_map.size * 4 + home_map.size * 4
                   + ivf.centroids.size * 4 + ivf.codebooks.size * 4)
         assert mem == expect
         # codes far below the flat index's raw vectors (512*64*4 B)
         assert codes.size < 512 * 64 * 4
+
+    def test_skewed_assignment_memory_bounded(self):
+        """One hot centroid (all points near one anchor) must NOT blow
+        the packed tensor up to [nlist, ~N, m]: capacity is capped at 4x
+        the pigeonhole minimum, overflow spills to neighboring lists,
+        every vector stays indexed exactly once, and self-queries still
+        find themselves at full probe."""
+        rng = np.random.default_rng(0)
+        n, d, nlist = 4000, 64, 32
+        # 97% of points in one tight cluster, the rest spread out
+        hot = rng.normal(size=(1, d)).astype(np.float32)
+        corpus = np.where(
+            (rng.random(n) < 0.97)[:, None],
+            hot + 0.01 * rng.normal(size=(n, d)).astype(np.float32),
+            rng.normal(size=(n, d)).astype(np.float32) * 3.0,
+        ).astype(np.float32)
+
+        ivf = IVFPQIndex(d, 16, 8, nlist=nlist, nprobe=nlist,
+                         train_iters=5)
+        ivf.index_data([str(i) for i in range(n)], corpus)
+        codes, ids_map, home_map, sizes = ivf._build()
+        sizes = np.asarray(sizes)
+        C = codes.shape[1]
+        # memory bound: capacity at the 4x-pigeonhole cap, far below
+        # the max-list dense layout (~n rows per list)
+        assert C <= -(-4 * (-(-n // nlist)) // 128) * 128
+        assert codes.shape[0] * C <= 5 * n  # total slots stay O(N)
+        # every vector indexed exactly once despite spilling
+        assert sizes.sum() == n
+        rows = np.concatenate([np.asarray(ids_map)[li, :sizes[li]]
+                               for li in range(nlist)])
+        assert sorted(rows.tolist()) == list(range(n))
+        # full-probe search must return the exact-ADC top-k: spilling
+        # must lose no item and corrupt no score (scores vs the oracle
+        # reconstruction c_home + codebook[code])
+        queries = corpus[:8]
+        res = ivf.search_knn(queries, 5)
+        assign_all = np.concatenate(ivf._assign_chunks)
+        codes_all = np.concatenate(ivf._code_chunks)
+        cb = np.asarray(ivf.codebooks)
+        m = cb.shape[0]
+        recon = (np.asarray(ivf.centroids)[assign_all]
+                 + cb[np.arange(m)[None, :], codes_all.astype(int)]
+                 .reshape(n, d))
+        for q, (ids, scores) in zip(queries, res):
+            exact = recon @ q
+            top_exact = np.sort(exact)[::-1][:5]
+            np.testing.assert_allclose(np.asarray(scores), top_exact,
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_spill_scores_match_unspilled(self):
+        """ADC scores must be identical whether an item sits in its home
+        list or was spilled: compare against an index with capacity high
+        enough to avoid spilling (same centroids/codebooks, full probe)."""
+        rng = np.random.default_rng(1)
+        n, d, nlist = 1500, 32, 8
+        hot = rng.normal(size=(1, d)).astype(np.float32)
+        corpus = np.where(
+            (rng.random(n) < 0.9)[:, None],
+            hot + 0.02 * rng.normal(size=(n, d)).astype(np.float32),
+            rng.normal(size=(n, d)).astype(np.float32) * 2.0,
+        ).astype(np.float32)
+        queries = corpus[::100]
+
+        ivf = IVFPQIndex(d, 8, 8, nlist=nlist, nprobe=nlist, train_iters=5)
+        ivf.index_data([str(i) for i in range(n)], corpus)
+        _, _, home_map, sizes = ivf._build()
+        spilled = int((np.asarray(home_map)
+                       != np.arange(nlist)[:, None]).sum())
+        got = {i: dict(zip(*r))
+               for i, r in enumerate(ivf.search_knn(queries, 10))}
+
+        # same quantizers, no capacity pressure (monkeypatch percentile
+        # cap away by rebuilding with nlist=1 semantics): emulate by
+        # directly computing exact ADC scores from the quantizers
+        assign = np.concatenate(ivf._assign_chunks)
+        codes = np.concatenate(ivf._code_chunks)
+        cb = np.asarray(ivf.codebooks)          # [m, ksub, dsub]
+        cents = np.asarray(ivf.centroids)
+        m, ksub, dsub = cb.shape
+        recon = (cents[assign]
+                 + cb[np.arange(m)[None, :], codes.astype(int)]
+                 .reshape(n, d))
+        for qi, q in enumerate(queries):
+            exact = recon @ q                   # exact ADC inner product
+            for doc_id, score in got[qi].items():
+                np.testing.assert_allclose(score, exact[int(doc_id)],
+                                           rtol=1e-4, atol=1e-4)
+        assert spilled > 0  # the skew actually exercised the spill path
