@@ -39,8 +39,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """
     in_multiproc = (coordinator_address is not None
                     or "COORDINATOR_ADDRESS" in os.environ
-                    or "SLURM_JOB_NUM_NODES" in os.environ
-                    and int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1)
+                    # SLURM: >1 task counts even on a single node (the
+                    # reference's one-process-per-GPU layout,
+                    # src/slurm.py:51-74); jax's SlurmCluster then parses
+                    # SLURM_PROCID/NTASKS/STEP_NODELIST itself
+                    or int(os.environ.get("SLURM_NTASKS", "1")) > 1
+                    or int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1)
     if not in_multiproc:
         return
     try:

@@ -1,0 +1,109 @@
+"""Subprocess worker for the real multi-process trainer tests
+(tests/test_multiprocess.py). Each OS process contributes
+``4 // nproc`` virtual CPU devices to a global 4-device (data, model)
+mesh via ``jax.distributed`` (Gloo collectives), runs 3 identical MoCo
+optimizer steps, and writes its replicated scalars to a JSON file.
+
+Modes:
+  * ``single``   — one process, 4 local devices, no jax.distributed
+                   (the parity oracle);
+  * ``explicit`` — parallel.mesh.init_distributed with an explicit
+                   coordinator (the generic launcher path);
+  * ``slurm``    — only SLURM_* env vars set; init_distributed must
+                   trigger off SLURM_NTASKS and jax's SlurmCluster must
+                   parse the coordinator from SLURM_STEP_NODELIST +
+                   SLURM_JOB_ID (replacing the reference's env-var
+                   translation, /root/reference/src/slurm.py:51-74).
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    mode, proc_id, nproc, port, out = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+        sys.argv[5])
+    local_devices = 4 // nproc
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    if mode == "slurm":
+        # jobid chosen so jax's port formula (jobid % 4096 + 61440 - 1
+        # .. see SlurmCluster.get_coordinator_address) lands on `port`
+        os.environ.update({
+            "SLURM_JOB_ID": str(int(port) - (65535 - 2 ** 12 + 1)),
+            "SLURM_STEP_NODELIST": "127.0.0.1",
+            "SLURM_NTASKS": str(nproc),
+            "SLURM_PROCID": str(proc_id),
+            "SLURM_LOCALID": str(proc_id),
+            "SLURM_STEP_NUM_NODES": "1",
+        })
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from czechtriever_tpu.config import Config
+    from czechtriever_tpu.models import bert
+    from czechtriever_tpu.parallel import mesh as meshlib
+    from czechtriever_tpu.training import optim, state as statelib, steps
+
+    if mode == "explicit":
+        meshlib.init_distributed(coordinator_address=f"127.0.0.1:{port}",
+                                 num_processes=nproc, process_id=proc_id)
+    elif mode == "slurm":
+        meshlib.init_distributed()  # must auto-detect from SLURM env
+
+    assert len(jax.devices()) == 4, jax.devices()
+    if mode != "single":
+        assert meshlib.process_count() == nproc
+        assert meshlib.process_index() == proc_id
+
+    cfg = Config(queue_size=32, temperature=0.05, momentum=0.99, lr=1e-3,
+                 warmup_steps=0, total_steps=100, scheduler="linear",
+                 projection_size=32, clip_gradients=False,
+                 queue_dtype="float32")
+    mcfg = bert.BertConfig(vocab_size=211, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64,
+                           max_position_embeddings=64, dtype="float32",
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    mesh = meshlib.make_mesh()
+    tx = optim.make_optimizer(cfg)
+    st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
+    st = meshlib.replicate(mesh, st)
+    step_fn = jax.jit(steps.make_moco_step(cfg, mcfg, tx))
+    rng = jax.random.key(1)
+
+    # identical global batches in every process; device_put takes each
+    # process's addressable shards of the (data-axis-sharded) microbatch
+    data_rng = np.random.default_rng(0)
+    stats = None
+    for _ in range(3):
+        ids = data_rng.integers(5, 211, (2, 2, 8, 12)).astype(np.int32)
+        mask = np.ones((2, 8, 12), np.int32)
+        b = {"q_tokens": ids[0], "q_mask": mask,
+             "k_tokens": ids[1], "k_mask": mask}
+        b = meshlib.shard_microbatches(mesh, b)
+        st, stats = step_fn(st, b, rng)
+
+    import optax
+    result = {
+        "mode": mode, "proc_id": proc_id,
+        "n_devices": len(jax.devices()),
+        "process_count": meshlib.process_count(),
+        "is_main": meshlib.is_main(),
+        "loss": float(stats["loss"]),
+        "accuracy": float(stats["accuracy"]),
+        "queue_ptr": int(np.asarray(st.queue_ptr)),
+        "param_norm": float(optax.global_norm(st.params_q)),
+        "queue_norm": float(optax.global_norm(st.queue)),
+    }
+    with open(os.path.join(out, f"proc{proc_id}.json"), "w") as f:
+        json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()
