@@ -146,6 +146,7 @@ class _Prefetcher:
     def __init__(self, gen_fn, depth: int = 4):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error = None
         self._thread = threading.Thread(target=self._run, args=(gen_fn,),
                                         daemon=True)
         self._thread.start()
@@ -154,6 +155,8 @@ class _Prefetcher:
         try:
             for item in gen_fn():
                 self._q.put(item)
+        except BaseException as e:  # propagate to the consumer thread
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -161,6 +164,8 @@ class _Prefetcher:
         while True:
             item = self._q.get()
             if item is self._done:
+                if self._error is not None:
+                    raise self._error
                 return
             yield item
 

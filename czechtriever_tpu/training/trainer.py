@@ -167,15 +167,28 @@ class Trainer:
             if on_epoch_start is not None:
                 on_epoch_start()
             logger.info("Start epoch %d", epoch)
-            micro_acc = []
             steps_this_epoch = 0
-            for mb in epoch_factory():
-                micro_acc.append(mb)
-                if len(micro_acc) < self.update_freq:
-                    continue
-                profiler.maybe_start(step)
-                stats = self.train_step(micro_acc)
+
+            # device-batch prefetch: group microbatches to update_freq and
+            # run the host->device transfer in a background thread, one
+            # optimizer step ahead — H2D (and its dispatch latency, which
+            # dominates on a tunneled chip) overlaps the previous step's
+            # device compute instead of serializing with it
+            def device_groups():
                 micro_acc = []
+                for mb in epoch_factory():
+                    micro_acc.append(mb)
+                    if len(micro_acc) == self.update_freq:
+                        yield self._device_batch(micro_acc)
+                        micro_acc = []
+
+            from czechtriever_tpu.data.datasets import _Prefetcher
+            batches = (iter(_Prefetcher(device_groups, depth=2))
+                       if cfg.device_prefetch else device_groups())
+            for batch in batches:
+                profiler.maybe_start(step)
+                self.state, stats = self._step_fn(self.state, batch,
+                                                  self._rng)
                 step += 1
                 steps_this_epoch += 1
                 profiler.maybe_stop(step)
