@@ -170,6 +170,18 @@ class _Prefetcher:
             yield item
 
 
+def _crop_max_length(stream, spec, n_special: int) -> int:
+    """Static-shape equivalent of the reference's pad-to-longest
+    (src/data.py:563-573): crops are at most ratio_max * chunk_length
+    tokens (augmentations only ever shorten), so padding to the full
+    chunk length would double the FFN/projection work per pair at the
+    default 0.1-0.5 crop ratios. Rounded to the 8-row sublane so the
+    matmul M dim stays tile-aligned."""
+    crop_max = int(stream.chunk_length * min(spec.ratio_max, 1.0))
+    ml = -(-(max(crop_max, 1) + n_special) // 8) * 8
+    return min(ml, stream.chunk_length + n_special)
+
+
 class PairBatcher:
     """TokenStream -> fixed-shape contrastive pair batches.
 
@@ -185,7 +197,9 @@ class PairBatcher:
         self.spec = spec
         self.batch_size = batch_size
         n_special = (spec.bos_token_id is not None) + (spec.eos_token_id is not None)
-        self.max_length = max_length or (stream.chunk_length + n_special)
+        self.max_length = (max_length if max_length is not None
+                           else _crop_max_length(stream, spec,
+                                                 n_special))
         self.collator = PairCollator(self.max_length)
         self.rng = np.random.default_rng(seed)
         self.seed = seed
@@ -311,7 +325,9 @@ class DistillBatcher:
         self.spec = spec
         self.batch_size = batch_size
         n_special = (spec.bos_token_id is not None) + (spec.eos_token_id is not None)
-        self.max_length = max_length or (stream.chunk_length + n_special)
+        self.max_length = (max_length if max_length is not None
+                           else _crop_max_length(stream, spec,
+                                                 n_special))
         self.rng = np.random.default_rng(seed)
 
     def epoch(self) -> Iterator[Dict[str, np.ndarray]]:

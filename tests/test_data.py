@@ -169,7 +169,9 @@ class TestBatchers:
         batches = list(b.epoch())
         assert len(batches) == len(s) // 8
         for batch in batches[:3]:
-            assert batch["q_tokens"].shape == (8, 66)
+            # crop-aware static pad: ratio_max=0.5 of 64 + bos/eos,
+            # rounded to the 8-row sublane -> 40 (not chunk+2=66)
+            assert batch["q_tokens"].shape == (8, 40)
             lens = batch["q_mask"].sum(axis=1)
             for i in range(8):
                 assert batch["q_tokens"][i, 0] == 101
@@ -192,7 +194,7 @@ class TestBatchers:
         s = TokenStream(path, chunk_length=64, buffer_size=10, seed=0)
         b = DistillBatcher(s, self._spec(), batch_size=4)
         batch = next(b.epoch())
-        assert batch["input_ids"].shape == (4, 66)
+        assert batch["input_ids"].shape == (4, 40)
         assert (batch["input_ids"][:, 0] == 101).all()
 
 

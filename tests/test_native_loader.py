@@ -136,5 +136,5 @@ class TestBatcherIntegration:
         batches = list(b_native.epoch())
         assert len(batches) == 50_000 // 16 // 8
         for b in batches[:3]:
-            assert b["q_tokens"].shape == (8, 18)
+            assert b["q_tokens"].shape == (8, 16)  # crop-aware pad
             assert b["q_mask"].sum() > 0
