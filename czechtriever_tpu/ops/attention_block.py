@@ -44,7 +44,12 @@ HIDDEN_SEED_OFFSET = 0x40000000  # disjoint from the per-(b,h) attention seeds
 
 def _mha_ctx(q_ref, k_ref, v_ref, bias_row, m_ref, l_ref, seed_ref, b,
              n_heads, rate, deterministic, save_stats):
-    """Per-head attention into a [L, HD] context, stats saved."""
+    """Per-head attention into a [Lq, HD] context, stats saved.
+
+    Q rows are padded to 8-sublane granularity only (crop-shaped
+    batches); K/V stay 128-lane padded because Lk is the scores' lane
+    dim. Stats are stored [H, Lq_pad, 1] — L on the sublane dim — for
+    the same reason (see ops/ffn_block.py)."""
     H = n_heads
     D = q_ref.shape[-1] // H
     outs = []
@@ -55,19 +60,19 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, m_ref, l_ref, seed_ref, b,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (1.0 / math.sqrt(D)) + bias_row
-        m = jnp.max(s, axis=-1)
-        p = jnp.exp(s - m[:, None])
-        l = jnp.sum(p, axis=-1)
+        m = jnp.max(s, axis=-1, keepdims=True)        # [Lq, 1]
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
         if not deterministic and rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, cols],
                     preferred_element_type=jnp.float32)
-        outs.append((o / l[:, None]).astype(q_ref.dtype))
+        outs.append((o / l).astype(q_ref.dtype))
         if save_stats:
-            m_ref[0, 0, h] = m
-            l_ref[0, 0, h] = l
-    return jnp.concatenate(outs, axis=-1)  # [L, HD]
+            m_ref[0, h] = m
+            l_ref[0, h] = l
+    return jnp.concatenate(outs, axis=-1)  # [Lq, HD]
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
@@ -94,8 +99,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
     y = zhat * sc_ref[...].astype(jnp.float32)[None, :] \
         + lb_ref[...].astype(jnp.float32)[None, :]
     y_ref[0] = y.astype(y_ref.dtype)
-    mean_ref[0, 0] = mean[:, 0]
-    rstd_ref[0, 0] = rstd[:, 0]
+    mean_ref[0] = mean
+    rstd_ref[0] = rstd
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
@@ -120,8 +125,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
         inv2 = 1.0 / (1.0 - hidden_rate)
         attn = jnp.where(keep2, attn * inv2, 0.0)
     z = x_ref[0].astype(jnp.float32) + attn
-    mean = mean_ref[0, 0][:, None]
-    rstd = rstd_ref[0, 0][:, None]
+    mean = mean_ref[0]          # [Lq_pad, 1]
+    rstd = rstd_ref[0]
     zhat = (z - mean) * rstd
 
     dy = dy_ref[0].astype(jnp.float32)
@@ -168,8 +173,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (1.0 / math.sqrt(D)) + bias_row
-        p = (jnp.exp(s - m_ref[0, 0, h][:, None])
-             / l_ref[0, 0, h][:, None])
+        p = jnp.exp(s - m_ref[0, h]) / l_ref[0, h]
         if not deterministic and attn_rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, attn_rate, p.shape)
             inv = 1.0 / (1.0 - attn_rate)
@@ -219,10 +223,14 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
                 interpret=False):
     B, L, HD = q.shape
     H = n_heads
-    L_pad = -(-L // LANE) * LANE
-    qp, kp, vp, xp = (_pad_l(t, L_pad, 1) for t in (q, k, v, x))
-    biasp = _pad_l(bias, L_pad, 1) + jnp.where(
-        jnp.arange(L_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
+    # Q rows pad to 8-sublane granularity (crop-shaped batches); K/V/bias
+    # pad to the 128-lane multiple because Lk is the scores' lane dim
+    Lq_pad = -(-L // 8) * 8
+    Lk_pad = -(-L // LANE) * LANE
+    qp, xp = (_pad_l(t, Lq_pad, 1) for t in (q, x))
+    kp, vp = (_pad_l(t, Lk_pad, 1) for t in (k, v))
+    biasp = _pad_l(bias, Lk_pad, 1) + jnp.where(
+        jnp.arange(Lk_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
     biasp = biasp[:, None, :]
     if seed is None:
         seed = jnp.int32(0)
@@ -238,28 +246,28 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((1, Lk_pad, HD), full),
+            pl.BlockSpec((1, Lk_pad, HD), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
             wspec, vec, vec, vec,
-            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, 1, Lk_pad), full),
         ],
         out_specs=[
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, 1, H, L_pad), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, H, L_pad), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad), full),
-            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((1, H, Lq_pad, 1), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Lq_pad, 1), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Lq_pad, 1), full),
+            pl.BlockSpec((1, Lq_pad, 1), full),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L_pad, HD), x.dtype),
-            jax.ShapeDtypeStruct((B, L_pad, HD), q.dtype),
-            jax.ShapeDtypeStruct((B, 1, H, L_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, H, L_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq_pad, HD), x.dtype),
+            jax.ShapeDtypeStruct((B, Lq_pad, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Lq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq_pad, 1), jnp.float32),
         ],
         # the per-program working set (ctx + f32 intermediates + weight
         # block) exceeds the default 16 MB scoped-VMEM stack at L>=384
@@ -293,11 +301,13 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
     q, k, v, x, wo, bo, scale, bias, seed, ctx, m, l, mean, rstd = res
     B, L, HD = q.shape
     H = n_heads
-    L_pad = m.shape[-1]
-    qp, kp, vp, xp = (_pad_l(t, L_pad, 1) for t in (q, k, v, x))
-    dyp = _pad_l(dy, L_pad, 1)
-    biasp = _pad_l(bias, L_pad, 1) + jnp.where(
-        jnp.arange(L_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
+    Lq_pad = m.shape[2]
+    Lk_pad = -(-L // LANE) * LANE
+    qp, xp = (_pad_l(t, Lq_pad, 1) for t in (q, x))
+    kp, vp = (_pad_l(t, Lk_pad, 1) for t in (k, v))
+    dyp = _pad_l(dy, Lq_pad, 1)
+    biasp = _pad_l(bias, Lk_pad, 1) + jnp.where(
+        jnp.arange(Lk_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
     biasp = biasp[:, None, :]
     if seed is None:
         seed = jnp.int32(0)
@@ -315,31 +325,31 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((1, Lk_pad, HD), full),
+            pl.BlockSpec((1, Lk_pad, HD), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
             acc2, acc1, acc1,
-            pl.BlockSpec((1, 1, L_pad), full),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, 1, H, L_pad), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, H, L_pad), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, L_pad), full),
-            pl.BlockSpec((1, 1, L_pad), full),
-            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, 1, Lk_pad), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((1, H, Lq_pad, 1), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Lq_pad, 1), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Lq_pad, 1), full),
+            pl.BlockSpec((1, Lq_pad, 1), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
         ],
         out_specs=[
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
-            pl.BlockSpec((1, L_pad, HD), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((1, Lk_pad, HD), full),
+            pl.BlockSpec((1, Lk_pad, HD), full),
+            pl.BlockSpec((1, Lq_pad, HD), full),
             acc2, acc1, acc1, acc1,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L_pad, HD), q.dtype),
-            jax.ShapeDtypeStruct((B, L_pad, HD), k.dtype),
-            jax.ShapeDtypeStruct((B, L_pad, HD), v.dtype),
-            jax.ShapeDtypeStruct((B, L_pad, HD), x.dtype),
+            jax.ShapeDtypeStruct((B, Lq_pad, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, Lk_pad, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, Lk_pad, HD), v.dtype),
+            jax.ShapeDtypeStruct((B, Lq_pad, HD), x.dtype),
             jax.ShapeDtypeStruct((HD, HD), jnp.float32),
             jax.ShapeDtypeStruct((HD,), jnp.float32),
             jax.ShapeDtypeStruct((HD,), jnp.float32),

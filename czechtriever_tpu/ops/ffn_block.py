@@ -92,8 +92,12 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
     y = (zc * rstd) * sc_ref[...].astype(jnp.float32)[None, :] \
         + lb_ref[...].astype(jnp.float32)[None, :]
     y_ref[0] = y.astype(y_ref.dtype)
-    mean_ref[0, 0] = mean[:, 0]
-    rstd_ref[0, 0] = rstd[:, 0]
+    # stats laid out [L_pad, 1]: keeps L on the sublane dim so the
+    # kernel accepts 8-granular (not 128-granular) sequence lengths —
+    # crop-shaped batches (L=136 at the reference recipe) would
+    # otherwise pad to 256 and waste ~half the FFN work
+    mean_ref[0] = mean
+    rstd_ref[0] = rstd
 
 
 def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
@@ -103,8 +107,8 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
     b = pl.program_id(0)
     dt = x_ref.dtype
     z = z_ref[0].astype(jnp.float32)
-    mean = mean_ref[0, 0][:, None]
-    rstd = rstd_ref[0, 0][:, None]
+    mean = mean_ref[0]          # [L_pad, 1]
+    rstd = rstd_ref[0]
     zhat = (z - mean) * rstd
     dy = dy_ref[0].astype(jnp.float32)
     scale = sc_ref[...].astype(jnp.float32)[None, :]
@@ -169,7 +173,10 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
                 eps, tanh_gelu, deterministic, interpret=False):
     B, L, D = x.shape
     F = w1.shape[1]
-    L_pad = -(-L // LANE) * LANE
+    # sublane (8-row) granularity: L is never a lane dim in this kernel
+    # (stats are [L_pad, 1]), so crop-length batches avoid the 128-lane
+    # round-up the attention kernel's [L, L] scores require
+    L_pad = -(-L // 8) * 8
     xp = _pad_l(x, L_pad, 1)
     if seed is None:
         seed = jnp.int32(0)
@@ -195,15 +202,15 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
             pl.BlockSpec((1, L_pad, D), full),
             pl.BlockSpec((1, L_pad, F), full),
             pl.BlockSpec((1, L_pad, D), full),
-            pl.BlockSpec((1, 1, L_pad), full),
-            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, L_pad, 1), full),
+            pl.BlockSpec((1, L_pad, 1), full),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
             jax.ShapeDtypeStruct((B, L_pad, F), x.dtype),
             jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
-            jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, L_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, L_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, L_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -252,8 +259,8 @@ def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
             pl.BlockSpec((D,), lambda b: (0,)),
             pl.BlockSpec((1, L_pad, F), full),
             pl.BlockSpec((1, L_pad, D), full),
-            pl.BlockSpec((1, 1, L_pad), full),
-            pl.BlockSpec((1, 1, L_pad), full),
+            pl.BlockSpec((1, L_pad, 1), full),
+            pl.BlockSpec((1, L_pad, 1), full),
             pl.BlockSpec((1, L_pad, D), full),
         ],
         out_specs=[
