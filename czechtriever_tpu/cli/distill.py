@@ -132,10 +132,21 @@ def main(argv=None) -> None:
     if teacher_tok is not None and tokenizer is not None and \
             getattr(teacher_tok, "vocab_size", None) != getattr(
                 tokenizer, "vocab_size", None):
-        from czechtriever_tpu.data.datasets import make_teacher_retokenizer
+        from czechtriever_tpu.data.datasets import (DISTILL_TASK,
+                                                    get_detailed_instruct,
+                                                    make_teacher_retokenizer)
+        # crop-aware static teacher length: instruction prompt + the crop
+        # distribution's support + slack, sublane-rounded — the reference
+        # pads to the batch max with pad_to_multiple_of=8 (distill.py:
+        # 398-405); a fixed 512 would quadruple the (per-token-priced)
+        # teacher forward for ~130-token crops
+        prompt_tokens = len(teacher_tok.encode(
+            get_detailed_instruct(DISTILL_TASK, "")))
+        crop_max = int(cfg.chunk_length * min(cfg.ratio_max, 1.0))
+        t_len = -(-(prompt_tokens + crop_max + 16) // 8) * 8
         retok = make_teacher_retokenizer(
             tokenizer, teacher_tok,
-            max_length=min(tcfg.max_position_embeddings, 512))
+            max_length=min(tcfg.max_position_embeddings, 512, t_len))
 
         def epoch_fn():
             return (retok(b) for b in batcher.epoch())
