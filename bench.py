@@ -65,7 +65,8 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           ffn_impl: str = "xla"):
     import jax
     import jax.numpy as jnp
-    from czechtriever_tpu.config import Config
+    from czechtriever_tpu.config import Config, enable_compilation_cache
+    enable_compilation_cache("~/.cache/czechtriever_tpu/xla")
     from czechtriever_tpu.models import bert
     from czechtriever_tpu.parallel import mesh as meshlib
     from czechtriever_tpu.training import optim, state as statelib, steps

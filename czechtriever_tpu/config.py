@@ -25,6 +25,27 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Point jax's persistent XLA compilation cache at ``cache_dir``
+    (no-op for empty/None or if jax already has one configured). Safe to
+    call before or after backend init; lazily imports jax so plain
+    config parsing stays jax-free."""
+    if not cache_dir:
+        return
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.path.expanduser(cache_dir)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even fast compiles: over a tunneled backend everything
+        # is worth caching
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # unwritable cache dir must never kill a run
+        pass
+
+
 @dataclass
 class Config:
     # --- basic / IO (src/options.py:18-89) ---
@@ -162,6 +183,11 @@ class Config:
     prng_impl: str = "rbg"
     # jax.profiler trace of steps [profile_start_step, +profile_steps)
     # written here; empty = profiling off (SURVEY.md §5.1)
+    # persistent XLA compilation cache: first compile of the full train
+    # step over a tunneled/remote TPU runs 5-10 min; with the cache a
+    # process restart (SLURM requeue, crash-resume, chunked runs)
+    # re-loads it in seconds. Empty string disables.
+    compilation_cache_dir: str = "~/.cache/czechtriever_tpu/xla"
     profile_dir: str = ""
     profile_start_step: int = 10
     profile_steps: int = 3
@@ -271,6 +297,7 @@ class Config:
         if (not save_dir_given and cfg.save_dir == default_dir
                 and cfg.output_dir != default_dir):
             cfg = cfg.replace(save_dir=cfg.output_dir)
+        enable_compilation_cache(cfg.compilation_cache_dir)
         return cfg
 
     def print_options(self, parser: Optional[argparse.ArgumentParser] = None) -> str:

@@ -58,7 +58,8 @@ def main() -> None:
     args = p.parse_args()
 
     import jax
-    from czechtriever_tpu.config import Config
+    from czechtriever_tpu.config import Config, enable_compilation_cache
+    enable_compilation_cache("~/.cache/czechtriever_tpu/xla")
     from czechtriever_tpu.models import bert, gemma
     from czechtriever_tpu.parallel import mesh as meshlib
     from czechtriever_tpu.training import (distill as distill_lib, optim,
