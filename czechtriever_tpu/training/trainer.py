@@ -111,7 +111,12 @@ class Trainer:
         path = ckpt.latest_path(self.cfg.save_dir)
         if path is None:
             return 0
-        host_state = jax.tree.map(np.asarray, self.state)
+        # restore template: shapes/dtypes only — np.asarray(self.state)
+        # would read the ~2 GB freshly-initialized state back from the
+        # device (measured 66 s over a tunneled chip) just to overwrite
+        # every leaf with the checkpoint
+        host_state = jax.tree.map(
+            lambda x: np.zeros(x.shape, x.dtype), self.state)
         restored, _ = ckpt.load(host_state, path)
         self.state = meshlib.replicate(self.mesh, restored)
         step = int(np.asarray(restored.step))
