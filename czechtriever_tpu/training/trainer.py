@@ -245,3 +245,17 @@ class Trainer:
                     "training data.")
             epoch += 1
         profiler.close()
+        self._log_peak_memory()
+
+    def _log_peak_memory(self) -> None:
+        """One line of device-memory accounting at run end (the TPU
+        runtime tracks peak HBM; CPU backends return no stats)."""
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+        except Exception:  # backend without memory introspection
+            return
+        peak = ms.get("peak_bytes_in_use")
+        limit = ms.get("bytes_limit")
+        if peak:
+            extra = f" of {limit / 1e9:.1f} GB limit" if limit else ""
+            logger.info("Peak device memory: %.2f GB%s", peak / 1e9, extra)
