@@ -40,18 +40,26 @@ from czechtriever_tpu.retrieval import pq as pq_mod
 NEG_INF = float("-inf")
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "q_block"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "q_block",
+                                             "probe_chunk"))
 def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
                    codes: jnp.ndarray, ids_map: jnp.ndarray,
                    home_map: jnp.ndarray, list_sizes: jnp.ndarray,
                    codebooks: jnp.ndarray, k: int, nprobe: int,
-                   q_block: int = 32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   q_block: int = 32, probe_chunk: int = 8
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """queries [Q, D]; centroids [nlist, D]; codes [nlist, C, m] uint8;
     ids_map [nlist, C] int32 (row index into the global id list);
     home_map [nlist, C] int32 — the centroid each slot's PQ residual was
     encoded against (== the list index except for capacity-spilled items,
     see IVFPQIndex._build); list_sizes [nlist]; codebooks [m, ksub, dsub].
-    Returns (scores [Q, k], global row ids [Q, k])."""
+    Returns (scores [Q, k], global row ids [Q, k]).
+
+    Probed lists are consumed ``probe_chunk`` at a time under a scan
+    with a running top-k: the gather temporaries are [q_block,
+    probe_chunk, C, m] rather than all of nprobe at once — at 1M rows /
+    nprobe 64 the all-at-once form peaked >4 GB of gather/cast buffers
+    and crashed the TPU worker."""
     Q, D = queries.shape
     nlist, C, m = codes.shape
     ksub = codebooks.shape[1]
@@ -70,33 +78,62 @@ def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
     lut_flat = lut.reshape(Q, m * ksub)
     offsets = (jnp.arange(m, dtype=jnp.int32) * ksub)[None, None, :]
 
+    pad_p = (-nprobe) % probe_chunk
+    # pad with repeats of the last probed list, masked invalid below so
+    # the duplicates can never enter the top-k
+    probe_valid = jnp.ones((Q, nprobe), bool)
+    if pad_p:
+        probe_i = jnp.concatenate(
+            [probe_i, jnp.repeat(probe_i[:, -1:], pad_p, axis=1)], axis=1)
+        probe_valid = jnp.pad(probe_valid, ((0, 0), (0, pad_p)))
+    npc = probe_i.shape[1] // probe_chunk
+
     pad_q = (-Q) % q_block
 
     def block_fn(args):
-        qi, qip_full, qlut = args  # [qb, nprobe], [qb, nlist], [qb, m*ksub]
-        gathered = codes[qi]              # [qb, nprobe, C, m]
-        idx = gathered.astype(jnp.int32) + offsets[None]
+        # [qb, nprobe+], [qb, nprobe+], [qb, nlist], [qb, m*ksub]
+        qi, qpv, qip_full, qlut = args
+        qb = qi.shape[0]
 
-        def per_q(lf, ix):
-            return jnp.take(lf, ix).sum(axis=-1)  # [nprobe, C]
+        def probe_body(carry, xs):
+            run_v, run_i = carry
+            pi, pv = xs  # [qb, probe_chunk] each
+            gathered = codes[pi]              # [qb, pc, C, m]
+            idx = gathered.astype(jnp.int32) + offsets[None]
 
-        res = jax.vmap(per_q)(qlut, idx)          # [qb, nprobe, C]
-        # score = q . c_home + q . residual — exact ADC inner product
-        # even for spilled slots stored under a neighboring centroid
-        home = home_map[qi]                       # [qb, nprobe, C]
-        ip_home = jax.vmap(jnp.take)(qip_full, home)
-        total = ip_home + res
-        valid = (jax.lax.broadcasted_iota(jnp.int32, (C,), 0)[None, None, :]
-                 < list_sizes[qi][:, :, None])
-        total = jnp.where(valid, total, NEG_INF)
-        rows = ids_map[qi]                        # [qb, nprobe, C]
-        qb = total.shape[0]
-        v, sel = jax.lax.top_k(total.reshape(qb, nprobe * C), k)
-        i = jnp.take_along_axis(rows.reshape(qb, nprobe * C), sel, axis=1)
+            def per_q(lf, ix):
+                return jnp.take(lf, ix).sum(axis=-1)  # [pc, C]
+
+            res = jax.vmap(per_q)(qlut, idx)          # [qb, pc, C]
+            # score = q . c_home + q . residual — exact ADC inner
+            # product even for spilled slots stored under a
+            # neighboring centroid
+            home = home_map[pi]                       # [qb, pc, C]
+            ip_home = jax.vmap(jnp.take)(qip_full, home)
+            total = ip_home + res
+            valid = (jax.lax.broadcasted_iota(
+                jnp.int32, (C,), 0)[None, None, :]
+                < list_sizes[pi][:, :, None]) & pv[:, :, None]
+            total = jnp.where(valid, total, NEG_INF)
+            rows = ids_map[pi]                        # [qb, pc, C]
+            cat_v = jnp.concatenate(
+                [run_v, total.reshape(qb, -1)], axis=1)
+            cat_i = jnp.concatenate(
+                [run_i, rows.reshape(qb, -1)], axis=1)
+            v, sel = jax.lax.top_k(cat_v, k)
+            return (v, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+        init = (jnp.full((qb, k), NEG_INF),
+                jnp.zeros((qb, k), jnp.int32))
+        (v, i), _ = jax.lax.scan(
+            probe_body, init,
+            (jnp.moveaxis(qi.reshape(qb, npc, probe_chunk), 1, 0),
+             jnp.moveaxis(qpv.reshape(qb, npc, probe_chunk), 1, 0)))
         return v, i
 
     if pad_q:
         probe_i = jnp.pad(probe_i, ((0, pad_q), (0, 0)))
+        probe_valid = jnp.pad(probe_valid, ((0, pad_q), (0, 0)))
         ip = jnp.pad(ip, ((0, pad_q), (0, 0)))
         lut_flat = jnp.pad(lut_flat, ((0, pad_q), (0, 0)))
     nb = probe_i.shape[0] // q_block
@@ -106,7 +143,8 @@ def ivf_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
 
     _, (v, i) = jax.lax.scan(
         scan_body, None,
-        (probe_i.reshape(nb, q_block, nprobe),
+        (probe_i.reshape(nb, q_block, -1),
+         probe_valid.reshape(nb, q_block, -1),
          ip.reshape(nb, q_block, -1),
          lut_flat.reshape(nb, q_block, -1)))
     return v.reshape(-1, k)[:Q], i.reshape(-1, k)[:Q]

@@ -42,8 +42,10 @@ def recall(hits, truth, k: int) -> float:
         len(set(h[0][:k]) & set(t[0][:k])) / k for h, t in zip(hits, truth)]))
 
 
-def timed_search(idx, queries, k: int, warm: int = 8):
-    idx.search_knn(queries[:warm], k)      # warm/compile
+def timed_search(idx, queries, k: int):
+    # warm at the measured shape: a smaller warm batch would leave the
+    # full-batch jit compile inside the timed region
+    res = idx.search_knn(queries, k)
     t0 = time.perf_counter()
     res = idx.search_knn(queries, k)
     dt = time.perf_counter() - t0
@@ -60,7 +62,15 @@ def main() -> None:
     p.add_argument("--nlist", type=int, default=1024)
     p.add_argument("--nprobe", type=int, default=64)
     p.add_argument("--train_rows", type=int, default=200_000)
+    p.add_argument("--engines", default="flat,pq,ivfpq",
+                   help="comma list; run engines selectively so a "
+                        "crash in one does not cost the others' numbers")
+    p.add_argument("--no-normalize", dest="normalize", action="store_false")
+    # default normalized rows: retrieval embeddings are L2-normalized
+    # (--norm_query/--norm_doc, BEIR cosine convention), and PQ behaves
+    # differently on the unit sphere than on raw gaussians
     args = p.parse_args()
+    engines = set(args.engines.split(","))
 
     from czechtriever_tpu.retrieval.flat import FlatIndex
     from czechtriever_tpu.retrieval.ivf import IVFPQIndex
@@ -73,47 +83,78 @@ def main() -> None:
     queries = (corpus[qidx]
                + 0.05 * rng.normal(size=(args.queries, args.d))
                ).astype(np.float32)
+    if args.normalize:
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     ids = [str(i) for i in range(args.n)]
     rows = []
 
+    # exact ground truth (host, chunked): independent of whether the
+    # flat engine is in this run's --engines
     t0 = time.perf_counter()
-    flat = FlatIndex(args.d)
-    flat.index_data(ids, corpus)
-    t_build = time.perf_counter() - t0
-    truth, qps = timed_search(flat, queries, args.k)
-    rows.append(dict(engine="flat", build_s=round(t_build, 1),
-                     qps=round(qps, 1), mem_mb=round(
-                         args.n * args.d * 4 / 1e6, 1),
-                     recall10=1.0, recall100=1.0))
-    print(rows[-1], file=sys.stderr)
+    gt_v = np.full((args.queries, args.k), -np.inf, np.float32)
+    gt_i = np.zeros((args.queries, args.k), np.int64)
+    for s in range(0, args.n, 200_000):
+        e = min(args.n, s + 200_000)
+        sc = queries @ corpus[s:e].T
+        top = np.argpartition(-sc, args.k - 1, axis=1)[:, :args.k]
+        cat_v = np.concatenate([gt_v, np.take_along_axis(sc, top, 1)], 1)
+        cat_i = np.concatenate([gt_i, top + s], 1)
+        sel = np.argpartition(-cat_v, args.k - 1, axis=1)[:, :args.k]
+        gt_v = np.take_along_axis(cat_v, sel, 1)
+        gt_i = np.take_along_axis(cat_i, sel, 1)
+    order = np.argsort(-gt_v, axis=1)
+    gt_i = np.take_along_axis(gt_i, order, 1)
+    truth = [([str(j) for j in row], None) for row in gt_i]
+    print(f"exact ground truth on host: {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
 
-    t0 = time.perf_counter()
-    pq = PQIndex(args.d, args.m, 8, kmeans_iters=10)
-    pq.train(corpus[:args.train_rows])
-    pq.index_data(ids, corpus)
-    t_build = time.perf_counter() - t0
-    hits, qps = timed_search(pq, queries, args.k)
-    rows.append(dict(engine=f"pq(m={args.m})", build_s=round(t_build, 1),
-                     qps=round(qps, 1),
-                     mem_mb=round(pq.memory_bytes() / 1e6, 1),
-                     recall10=round(recall(hits, truth, 10), 3),
-                     recall100=round(recall(hits, truth, 100), 3)))
-    print(rows[-1], file=sys.stderr)
+    if "flat" in engines:
+        t0 = time.perf_counter()
+        flat = FlatIndex(args.d)
+        flat.index_data(ids, corpus)
+        t_build = time.perf_counter() - t0
+        hits, qps = timed_search(flat, queries, args.k)
+        rows.append(dict(engine="flat", build_s=round(t_build, 1),
+                         qps=round(qps, 1), mem_mb=round(
+                             args.n * args.d * 4 / 1e6, 1),
+                         recall10=round(recall(hits, truth, 10), 3),
+                         recall100=round(recall(hits, truth, 100), 3)))
+        print(rows[-1], file=sys.stderr)
+        del flat
 
-    t0 = time.perf_counter()
-    ivf = IVFPQIndex(args.d, args.m, 8, nlist=args.nlist,
-                     nprobe=args.nprobe, train_iters=10)
-    ivf.train(corpus[:args.train_rows])
-    ivf.index_data(ids, corpus)
-    ivf._build()
-    t_build = time.perf_counter() - t0
-    hits, qps = timed_search(ivf, queries, args.k)
-    rows.append(dict(engine=f"ivfpq(nlist={args.nlist},np={args.nprobe})",
-                     build_s=round(t_build, 1), qps=round(qps, 1),
-                     mem_mb=round(ivf.memory_bytes() / 1e6, 1),
-                     recall10=round(recall(hits, truth, 10), 3),
-                     recall100=round(recall(hits, truth, 100), 3)))
-    print(rows[-1], file=sys.stderr)
+    if "pq" in engines:
+        t0 = time.perf_counter()
+        pq = PQIndex(args.d, args.m, 8, kmeans_iters=10)
+        pq.train(corpus[:args.train_rows])
+        pq.index_data(ids, corpus)
+        t_build = time.perf_counter() - t0
+        hits, qps = timed_search(pq, queries, args.k)
+        rows.append(dict(engine=f"pq(m={args.m})",
+                         build_s=round(t_build, 1),
+                         qps=round(qps, 1),
+                         mem_mb=round(pq.memory_bytes() / 1e6, 1),
+                         recall10=round(recall(hits, truth, 10), 3),
+                         recall100=round(recall(hits, truth, 100), 3)))
+        print(rows[-1], file=sys.stderr)
+        del pq
+
+    if "ivfpq" in engines:
+        t0 = time.perf_counter()
+        ivf = IVFPQIndex(args.d, args.m, 8, nlist=args.nlist,
+                         nprobe=args.nprobe, train_iters=10)
+        ivf.train(corpus[:args.train_rows])
+        ivf.index_data(ids, corpus)
+        ivf._build()
+        t_build = time.perf_counter() - t0
+        hits, qps = timed_search(ivf, queries, args.k)
+        rows.append(dict(
+            engine=f"ivfpq(nlist={args.nlist},np={args.nprobe})",
+            build_s=round(t_build, 1), qps=round(qps, 1),
+            mem_mb=round(ivf.memory_bytes() / 1e6, 1),
+            recall10=round(recall(hits, truth, 10), 3),
+            recall100=round(recall(hits, truth, 100), 3)))
+        print(rows[-1], file=sys.stderr)
 
     print(json.dumps({"n": args.n, "d": args.d, "k": args.k,
                       "queries": args.queries, "rows": rows}))
