@@ -26,8 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_xplane(logdir: str, plane_filter: str = "TPU"):
-    """Yield (line_name, event_name, total_duration_ps, occurrences) from
-    the device plane of the newest xplane.pb under logdir."""
+    """Yield (line_name, event_name, total_self_ps, occurrences) from
+    the device plane of the newest xplane.pb under logdir.
+
+    Events on an XLA Ops line NEST (a while's event spans its whole
+    body; the accumulation loop nests three deep in this codebase), so
+    raw durations double-count massively — a naive sum reported ~4x
+    the measured step time. Self time = duration minus the time covered
+    by immediate children, computed with a containment sweep."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(
@@ -45,10 +51,26 @@ def parse_xplane(logdir: str, plane_filter: str = "TPU"):
         for line in plane.lines:
             agg = collections.Counter()
             occ = collections.Counter()
-            for ev in line.events:
-                name = ev_meta[ev.metadata_id].name
-                agg[name] += ev.duration_ps
+            evs = sorted(
+                ((ev.offset_ps, ev.duration_ps,
+                  ev_meta[ev.metadata_id].name) for ev in line.events),
+                key=lambda t: (t[0], -t[1]))
+            stack = []  # [start, end, name, covered_by_children_ps]
+
+            def commit(frame):
+                s, e, name, covered = frame
+                agg[name] += max(e - s - covered, 0)
                 occ[name] += 1
+                if stack:
+                    stack[-1][3] += e - s
+
+            for start, dur, name in evs:
+                end = start + dur
+                while stack and stack[-1][1] <= start:
+                    commit(stack.pop())
+                stack.append([start, end, name, 0])
+            while stack:
+                commit(stack.pop())
             for name, ps in agg.items():
                 yield plane.name, line.name, name, ps, occ[name]
 
@@ -79,9 +101,10 @@ def group_of(name: str) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--accum", type=int, default=16)
-    ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--seq", type=int, default=136)
+    # 136 = the recipe workload shape (bench.py --workload recipe)
     ap.add_argument("--queue_size", type=int, default=131072)
     ap.add_argument("--remat", default="none")
     ap.add_argument("--attention", default="flash_block")
