@@ -56,19 +56,21 @@ NEG_INF = float("-inf")
 
 @functools.partial(jax.jit, static_argnames=("nprobe",))
 def coarse_probe(queries: jnp.ndarray, centroids: jnp.ndarray,
-                 nprobe: int) -> jnp.ndarray:
+                 nprobe: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-``nprobe`` inverted lists per query by the L2-compatible
-    coarse score q.c - ||c||^2/2. Returns [Q, nprobe] int32."""
+    coarse score q.c - ||c||^2/2. Returns (probe_i [Q, nprobe] int32,
+    ip_t [nlist, Q] f32) — ip_t is reused by union_adc_search as the
+    home-centroid base score, saving a second q.cT matmul."""
     q32 = queries.astype(jnp.float32)
     c32 = centroids.astype(jnp.float32)
-    ip = jnp.dot(q32, c32.T, preferred_element_type=jnp.float32)
-    sel = ip - 0.5 * jnp.sum(c32 * c32, axis=1)[None, :]
+    ip_t = jnp.dot(c32, q32.T, preferred_element_type=jnp.float32)
+    sel = ip_t.T - 0.5 * jnp.sum(c32 * c32, axis=1)[None, :]
     _, probe_i = jax.lax.top_k(sel, nprobe)
-    return probe_i.astype(jnp.int32)
+    return probe_i.astype(jnp.int32), ip_t
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block"))
-def union_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
+def union_adc_search(queries: jnp.ndarray, ip_t: jnp.ndarray,
                      codes: jnp.ndarray, ids_map: jnp.ndarray,
                      home_map: jnp.ndarray, list_sizes: jnp.ndarray,
                      codebooks: jnp.ndarray, union_lists: jnp.ndarray,
@@ -77,10 +79,15 @@ def union_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
     """Score the union of probed lists for every query with the
     lane-vectorized blocked ADC (see module docstring).
 
-    queries [Q, D]; codes [nlist, C, m] uint8; ids_map/home_map
-    [nlist, C] int32; list_sizes [nlist] int32; codebooks
-    [m, ksub, dsub]; union_lists [U_pad] int32 (bucket-padded, padding
-    masked by ``n_union``). Returns (scores [Q, k], row ids [Q, k])."""
+    queries [Q, D]; ip_t [nlist, Q] f32 (home-centroid base scores
+    from coarse_probe, laid out so the per-block fetch below is a
+    [Q]-wide row gather like the LUT's); codes [nlist, C, m] uint8;
+    ids_map/home_map [nlist, C] int32; list_sizes [nlist] int32;
+    codebooks [m, ksub, dsub]; union_lists [U_pad] int32
+    (bucket-padded, padding masked by ``n_union``). Returns
+    (scores [Q, k'], row ids [Q, k']) with k' = min(k, U_pad*C);
+    entries beyond the real candidate count carry -inf scores — the
+    caller drops them."""
     Q, D = queries.shape
     nlist, C, m = codes.shape
     ksub = codebooks.shape[1]
@@ -89,10 +96,6 @@ def union_adc_search(queries: jnp.ndarray, centroids: jnp.ndarray,
     k = min(k, U * C)
 
     q32 = queries.astype(jnp.float32)
-    c32 = centroids.astype(jnp.float32)
-    # base score vs the HOME centroid, laid out [nlist, Q] so the
-    # per-block fetch below is a [Q]-wide row gather like the LUT's
-    ip_t = jnp.dot(c32, q32.T, preferred_element_type=jnp.float32)
 
     # residual ADC LUT, [m, ksub, Q] (lane dim = queries)
     qsub = q32.reshape(Q, m, dsub)
@@ -300,8 +303,9 @@ class IVFPQIndex:
                 q = np.concatenate(
                     [q, np.zeros((bs - n_real, q.shape[1]), np.float32)])
             qd = jnp.asarray(q)
-            probe_i = np.asarray(coarse_probe(
-                qd, cents, min(self.nprobe, self.nlist)))
+            probe_dev, ip_t = coarse_probe(
+                qd, cents, min(self.nprobe, self.nlist))
+            probe_i = np.asarray(probe_dev)
             # union over the REAL queries only (pad rows probe garbage)
             union = np.unique(probe_i[:n_real].ravel())
             # bucket-pad to the next power of two (few jit shapes)
@@ -312,11 +316,19 @@ class IVFPQIndex:
             ul = np.zeros(u_pad, np.int32)
             ul[:len(union)] = union
             v, i = union_adc_search(
-                qd, cents, codes, ids_map, home_map, sizes, cbs_dev,
+                qd, ip_t, codes, ids_map, home_map, sizes, cbs_dev,
                 jnp.asarray(ul), jnp.asarray(len(union), jnp.int32), k)
-            ids_block = id_arr[np.asarray(i)[:n_real]]
-            for row_ids, row_v in zip(ids_block, np.asarray(v)[:n_real]):
-                out.append((list(row_ids), row_v.tolist()))
+            v = np.asarray(v)[:n_real]
+            i = np.asarray(i)[:n_real]
+            ids_block = id_arr[i]
+            for row_ids, row_v in zip(ids_block, v):
+                # drop top-k padding (probed union held < k real
+                # candidates): real inner products are finite, so -inf
+                # marks exactly the carry-init slots (FAISS pads these
+                # with id -1; we truncate instead)
+                n_ok = int(np.sum(np.isfinite(row_v)))
+                out.append((list(row_ids[:n_ok]),
+                            row_v[:n_ok].tolist()))
         return out
 
     # -- persistence -----------------------------------------------------------

@@ -76,6 +76,20 @@ class TestIVFPQ:
             assert all(0 <= int(i) < 500 for i in ids)
             assert len(set(ids)) == 20  # no duplicate hits
 
+    def test_short_union_truncates_instead_of_fake_hits(self):
+        """When the probed union holds fewer real candidates than
+        top_docs, the result row is truncated to the real hits —
+        never padded with the carry-init (score -inf, id 0) slots
+        (FAISS pads with id -1; we truncate)."""
+        corpus = clustered_corpus(n=200)
+        ivf = self._build(corpus, nlist=8, nprobe=1)
+        res = ivf.search_knn(corpus[:3], 150)
+        for ids, scores in res:
+            assert len(ids) < 150          # union of 1-3 lists < 150
+            assert len(ids) == len(scores) > 0
+            assert np.isfinite(scores).all()
+            assert len(set(ids)) == len(ids)
+
     @pytest.mark.slow  # >15s on the CPU backend
     def test_packing_covers_every_vector_once(self):
         corpus = clustered_corpus(n=700)

@@ -70,7 +70,11 @@ def main() -> None:
     # (--norm_query/--norm_doc, BEIR cosine convention), and PQ behaves
     # differently on the unit sphere than on raw gaussians
     args = p.parse_args()
-    engines = set(args.engines.split(","))
+    engines = {e.strip() for e in args.engines.split(",") if e.strip()}
+    unknown = engines - {"flat", "pq", "ivfpq"}
+    if unknown:
+        p.error(f"unknown engines {sorted(unknown)}; "
+                "choose from flat, pq, ivfpq")
 
     from czechtriever_tpu.retrieval.flat import FlatIndex
     from czechtriever_tpu.retrieval.ivf import IVFPQIndex
@@ -97,7 +101,8 @@ def main() -> None:
     for s in range(0, args.n, 200_000):
         e = min(args.n, s + 200_000)
         sc = queries @ corpus[s:e].T
-        top = np.argpartition(-sc, args.k - 1, axis=1)[:, :args.k]
+        kth = min(args.k, e - s)            # last chunk can be < k wide
+        top = np.argpartition(-sc, kth - 1, axis=1)[:, :kth]
         cat_v = np.concatenate([gt_v, np.take_along_axis(sc, top, 1)], 1)
         cat_i = np.concatenate([gt_i, top + s], 1)
         sel = np.argpartition(-cat_v, args.k - 1, axis=1)[:, :args.k]

@@ -134,8 +134,7 @@ def main() -> None:
             st, stats = step_fn(st, b, rng)
         float(stats["loss"])  # sync (see bench.py note on the axon tunnel)
 
-    rows = [r for r in parse_xplane(logdir)
-            if "XLA Op" in r[1] or "XLA Ops" in r[1]]
+    rows = [r for r in parse_xplane(logdir) if "XLA Op" in r[1]]
     if not rows:  # fall back to all device lines
         rows = list(parse_xplane(logdir))
     total_ms = sum(r[3] for r in rows) / 1e9
