@@ -123,3 +123,80 @@ def create_distill_state(rng: jax.Array, cfg, mcfg: bert.BertConfig,
         opt_state=moco.opt_state, queue=moco.queue,
         queue_ptr=moco.queue_ptr, params_t=teacher_params,
         init_params=moco.init_params)
+
+
+def _teacher_specs(tcfg, model: int):
+    """TP PartitionSpecs for the frozen teacher, or None to replicate.
+
+    The reference's actual teacher (bge-multilingual-gemma2, 9B params,
+    distill.py:504-509) does not fit one v5e chip at bf16 (~18 GB vs
+    16 GB HBM) — sharding it over the model axis is how that config runs
+    at all. GQA needs the kv head count divisible by the axis size for an
+    even shard; fall back to replication (with a note) otherwise."""
+    from czechtriever_tpu.models import gemma
+    if isinstance(tcfg, gemma.GemmaConfig):
+        if (tcfg.num_key_value_heads % model
+                or tcfg.num_attention_heads % model):
+            logging.getLogger(__name__).warning(
+                "teacher heads (%d q / %d kv) not divisible by model "
+                "axis %d; replicating the teacher",
+                tcfg.num_attention_heads, tcfg.num_key_value_heads, model)
+            return None
+        return gemma.partition_specs(tcfg)
+    if isinstance(tcfg, bert.BertConfig):
+        if tcfg.num_attention_heads % model:
+            return None
+        return bert.partition_specs(tcfg)
+    return None
+
+
+def place_state(mesh, state, mcfg: bert.BertConfig, tx, tcfg=None):
+    """Place a train state on the mesh.
+
+    model axis == 1: fully replicate (the reference's DDP layout, where
+    every rank holds the whole model, train.py:482-489). model axis > 1:
+    Megatron-style tensor parallelism — encoder params (and, for distill,
+    the teacher) sharded over the model axis via partition_specs, the
+    optimizer state re-initialized from the sharded params so its moments
+    inherit the sharding, queue/step/pointer replicated. XLA inserts the
+    row-parallel psums from the annotations.
+    """
+    from jax.sharding import NamedSharding
+    from czechtriever_tpu.parallel import mesh as meshlib
+
+    model = mesh.shape.get(meshlib.MODEL_AXIS, 1)
+    if model <= 1:
+        return meshlib.replicate(mesh, state)
+    specs = bert.partition_specs(mcfg)
+
+    def put(tree, tree_specs):
+        return jax.tree.map(
+            lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+            tree, tree_specs)
+
+    rep = meshlib.replicated(mesh)
+    repl = lambda tree: jax.tree.map(
+        lambda p: jax.device_put(p, rep), tree)
+
+    if isinstance(state, InBatchState):
+        params = put(state.params, specs)
+        return state.replace(
+            params=params, opt_state=tx.init(params),
+            step=jax.device_put(state.step, rep),
+            init_params=(None if state.init_params is None
+                         else put(state.init_params, specs)))
+
+    params_q = put(state.params_q, specs)
+    extra = {}
+    if isinstance(state, DistillState):
+        tspecs = _teacher_specs(tcfg, model) if tcfg is not None else None
+        extra["params_t"] = (repl(state.params_t) if tspecs is None
+                             else put(state.params_t, tspecs))
+    return state.replace(
+        params_q=params_q, params_k=put(state.params_k, specs),
+        opt_state=tx.init(params_q),
+        queue=jax.device_put(state.queue, rep),
+        queue_ptr=jax.device_put(state.queue_ptr, rep),
+        step=jax.device_put(state.step, rep),
+        init_params=(None if state.init_params is None
+                     else put(state.init_params, specs)), **extra)

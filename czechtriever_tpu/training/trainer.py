@@ -100,7 +100,11 @@ class Trainer:
             raise ValueError(f"unknown contrastive_mode: "
                              f"{cfg.contrastive_mode}")
 
-        self.state = meshlib.replicate(self.mesh, self.state)
+        # replicate on a pure-DP mesh; TP-shard encoders (and a distill
+        # teacher) over the model axis otherwise
+        self._teacher_mcfg = teacher_mcfg
+        self.state = statelib.place_state(self.mesh, self.state, mcfg,
+                                          self.tx, tcfg=teacher_mcfg)
         donate = (0,) if cfg.donate_state else ()
         self._step_fn = jax.jit(step_fn, donate_argnums=donate)
         self._rng = jax.random.key(cfg.seed + 1, impl=cfg.prng_impl)
@@ -118,7 +122,8 @@ class Trainer:
         host_state = jax.tree.map(
             lambda x: np.zeros(x.shape, x.dtype), self.state)
         restored, _ = ckpt.load(host_state, path)
-        self.state = meshlib.replicate(self.mesh, restored)
+        self.state = statelib.place_state(self.mesh, restored, self.mcfg,
+                                          self.tx, tcfg=self._teacher_mcfg)
         step = int(np.asarray(restored.step))
         logger.info("Resumed from %s at step %d", path, step)
         return step

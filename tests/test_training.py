@@ -217,6 +217,121 @@ class TestShardedEquivalence:
         np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+class TestPlaceState:
+    """statelib.place_state — the one mesh-placement path shared by the
+    Trainer and dryrun_multichip: replicate on DP meshes, Megatron-TP
+    shard over the model axis otherwise (teacher included — the layout
+    the 9B reference teacher needs, distill.py:504-509)."""
+
+    def _tiny_tcfg(self):
+        from czechtriever_tpu.models import gemma
+        return gemma.GemmaConfig(
+            vocab_size=211, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+            intermediate_size=64, max_position_embeddings=64,
+            query_pre_attn_scalar=8.0, sliding_window=8, dtype="float32")
+
+    def test_tp_gemma_teacher_forward_parity(self):
+        """TP-sharded gemma.encode == replicated (GQA kv=2 over model=2)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from czechtriever_tpu.models import gemma
+
+        tcfg = self._tiny_tcfg()
+        params = gemma.init_params(jax.random.key(0), tcfg)
+        ids = jnp.array(np.random.default_rng(0).integers(
+            5, tcfg.vocab_size, (8, 16)).astype(np.int32))
+        mask = jnp.ones_like(ids)
+        ref = np.asarray(gemma.encode(params, tcfg, ids, mask))
+
+        m = meshlib.make_mesh(data=4, model=2)
+        specs = gemma.partition_specs(tcfg)
+        params_tp = jax.tree.map(
+            lambda p, s: jax.device_put(p, NamedSharding(m, s)),
+            params, specs)
+        ids_m = jax.device_put(ids, NamedSharding(m, P("data", None)))
+        mask_m = jax.device_put(mask, NamedSharding(m, P("data", None)))
+        out = np.asarray(gemma.encode(params_tp, tcfg, ids_m, mask_m))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_distill_state_shardings(self):
+        """place_state on a (4,2) mesh: student + teacher layer weights
+        sharded over 'model', queue/step replicated, opt moments inherit
+        the param sharding."""
+        mcfg = tiny_mcfg()
+        tcfg = self._tiny_tcfg()
+        cfg = tiny_cfg(contrastive_mode="distill", distill_weight=0.5)
+        tx = optim.make_optimizer(cfg)
+        st = statelib.create_distill_state(jax.random.key(0), cfg, mcfg,
+                                           tcfg, tx)
+        m = meshlib.make_mesh(data=4, model=2)
+        st = statelib.place_state(m, st, mcfg, tx, tcfg=tcfg)
+
+        def spec_of(x):
+            return tuple(x.sharding.spec)
+
+        assert "model" in spec_of(st.params_q["layers"]["q_kernel"])
+        assert "model" in spec_of(st.params_k["layers"]["ffn_in_kernel"])
+        assert "model" in spec_of(st.params_t["layers"]["gate_kernel"])
+        assert "model" in spec_of(st.params_t["layers"]["o_kernel"])
+        assert spec_of(st.queue) == ()
+        # adam moments of a sharded param are sharded the same way:
+        # every opt-state leaf with q_kernel's shape is a moment of it
+        qshape = st.params_q["layers"]["q_kernel"].shape
+        moments = [x for x in jax.tree.leaves(st.opt_state)
+                   if getattr(x, "shape", None) == qshape]
+        assert moments, "no adam moments with q_kernel's shape"
+        assert all("model" in tuple(x.sharding.spec) for x in moments)
+
+    def test_distill_step_tp_parity(self):
+        """One full distill step with TP student + TP gemma teacher ==
+        the single-device run (the dryrun's subcheck 2, in-suite)."""
+        from czechtriever_tpu.training import distill as distill_lib
+
+        mcfg = tiny_mcfg()
+        tcfg = self._tiny_tcfg()
+        # eps=1e-3: adam's rsqrt(v)+eps amplifies reduction-order noise
+        # on near-zero grads into sign flips of the whole lr-sized
+        # update; a fat eps keeps the update ∝ grad so TP-vs-single
+        # deltas stay at f32 noise scale instead of ~lr
+        cfg = tiny_cfg(contrastive_mode="distill", distill_weight=0.5,
+                       queue_dtype="float32", eps=1e-3)
+        tx = optim.make_optimizer(cfg)
+        batch = make_batch(np.random.default_rng(0), 2, 8, 16,
+                           mcfg.vocab_size)
+        step_fn = jax.jit(distill_lib.make_distill_step(cfg, mcfg, tcfg, tx))
+
+        outs = []
+        for data, model in ((4, 2), (1, 1)):
+            m = meshlib.make_mesh(
+                data=data, model=model,
+                devices=jax.devices()[:data * model])
+            st = statelib.create_distill_state(jax.random.key(1), cfg,
+                                               mcfg, tcfg, tx)
+            st = statelib.place_state(m, st, mcfg, tx, tcfg=tcfg)
+            b = meshlib.shard_microbatches(m, batch)
+            st2, stats = step_fn(st, b, jax.random.key(2))
+            outs.append((st2, stats))
+        (st_tp, stats_tp), (st_1, stats_1) = outs
+        np.testing.assert_allclose(float(stats_tp["distill_loss"]),
+                                   float(stats_1["distill_loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(st_tp.params_q),
+                        jax.tree.leaves(st_1.params_q)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_gemma_tp_uneven_heads_falls_back(self):
+        """kv heads not divisible by the model axis -> teacher replicated
+        (documented fallback), run still works."""
+        from czechtriever_tpu.models import gemma
+        tcfg = gemma.GemmaConfig(
+            vocab_size=211, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=3, num_key_value_heads=3, head_dim=8,
+            intermediate_size=64, max_position_embeddings=64,
+            query_pre_attn_scalar=8.0, sliding_window=8, dtype="float32")
+        assert statelib._teacher_specs(tcfg, 2) is None
+
+
 class TestMesh:
     def test_make_mesh_shapes(self):
         m = meshlib.make_mesh()
