@@ -173,6 +173,7 @@ def main():
 
     batch = args.batch
     remat = args.remat
+    retried_same = False
     while True:
         try:
             sps, spstep, loss = run(batch, args.accum, args.seq,
@@ -183,13 +184,24 @@ def main():
         except Exception as e:
             oom = ("RESOURCE_EXHAUSTED" in str(e)
                    or "Ran out of memory" in str(e))
-            if oom and remat == "none":
+            if oom and not retried_same:
+                # transient: the tunnel server can still hold a previous
+                # client's HBM when this one starts, so a first OOM is
+                # not proof the config doesn't fit — observed flaky at
+                # B=128 (fits at 8.1 GB of 16, docs/PERF.md shakeout)
+                print(f"OOM at batch {batch}/{remat}; retrying same "
+                      f"config once before degrading", file=sys.stderr)
+                retried_same = True
+                time.sleep(10)
+            elif oom and remat == "none":
                 print("OOM without remat, retrying with 'dots'",
                       file=sys.stderr)
                 remat = "dots"
+                retried_same = False
             elif oom and batch > 8:
                 print(f"OOM at batch {batch}, halving", file=sys.stderr)
                 batch //= 2
+                retried_same = False
             else:
                 raise
     from czechtriever_tpu.models import bert as bertlib

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +33,42 @@ from czechtriever_tpu.ops.attention import LANE, _keep_mask, _pad_l
 
 FFN_SEED_OFFSET = 0x20000000  # disjoint from attention_block's streams
 
+# Rows-per-program target for batch grouping (see _pick_group). Resolved
+# once at import so the forward and backward traces can never disagree
+# (the ops/attention.py head-groups env var taught that lesson).
+# Default 0 = one batch element per program: grouping G=4 at the recipe
+# shape measured 6% faster standalone (fwd+bwd 3.91 vs 4.16 ms at
+# B=128/L=136) but its larger per-program VMEM working set OOMs the full
+# train step at B=128 (3/3 runs -> the bench ladder degrades to
+# B=32/dots, 802 vs 892 pairs/s), so it stays opt-in for standalone
+# encode-only workloads.
+_ROWS_TARGET = int(os.environ.get("CZT_FFN_GROUP_ROWS", "0"))
+
+# F-dimension chunks in the forward kernel. The straight-line
+# mm1(c) -> gelu(c) -> mm2(c) chain per chunk has no cross-chunk
+# dependency, so Mosaic can overlap chunk c's VPU gelu with chunk c+1's
+# MXU matmul — the un-chunked forward serializes one big VPU block
+# between the two matmuls. Forward-only: `pre` column slices are
+# bitwise the same contractions, so the backward (which recomputes
+# gelu from the saved pre) is unaffected.
+_FWD_F_CHUNKS = int(os.environ.get("CZT_FFN_FWD_CHUNKS", "4"))
+
 _SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
 _C = 0.044715
+
+
+def _pick_group(B: int, L_pad: int) -> int:
+    """Batch elements per program. Every op in this block is row-local
+    (matmuls, gelu, dropout, residual, per-row LayerNorm), so G elements
+    can be processed as one [G*L_pad, D] matrix. Taller matmuls buy a
+    modest backward win (126 vs 118 TFLOP/s combined fwd+bwd at G=4,
+    B=128/L=136 standalone) at the price of a ~Gx per-program VMEM
+    working set — see _ROWS_TARGET for why the default is off. Largest
+    power-of-two divisor of B with G*L_pad <= _ROWS_TARGET."""
+    g = 1
+    while (B % (g * 2) == 0 and (g * 2) * L_pad <= _ROWS_TARGET):
+        g *= 2
+    return g
 
 
 def _erf(x):
@@ -71,33 +106,46 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
                 lb_ref, y_ref, pre_ref, z_ref, mean_ref, rstd_ref, *,
                 hidden_rate, eps, tanh_gelu, deterministic):
     b = pl.program_id(0)
-    x = x_ref[0]
-    pre = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
-    pre = pre + b1_ref[...].astype(jnp.float32)[None, :]
-    pre_b = pre.astype(x.dtype)
-    pre_ref[0] = pre_b
-    a = _gelu(pre_b.astype(jnp.float32), tanh_gelu).astype(x.dtype)
-    out = jnp.dot(a, w2_ref[...], preferred_element_type=jnp.float32)
+    # the block holds G batch elements; every op here is row-local, so
+    # flatten to one [G*L_pad, D] matrix (taller MXU matmuls)
+    x = x_ref[...].reshape(-1, x_ref.shape[-1])
+    rows = x.shape[0]
+    F = w1_ref.shape[-1]
+    D = x_ref.shape[-1]
+    nc = _FWD_F_CHUNKS if F % _FWD_F_CHUNKS == 0 else 1
+    C = F // nc
+    Gb = pre_ref.shape[0]
+    out = jnp.zeros((rows, D), jnp.float32)
+    for c in range(nc):
+        cols = slice(c * C, (c + 1) * C)
+        pre_c = jnp.dot(x, w1_ref[:, cols],
+                        preferred_element_type=jnp.float32)
+        pre_c = pre_c + b1_ref[cols].astype(jnp.float32)[None, :]
+        pre_b = pre_c.astype(x.dtype)
+        pre_ref[:, :, cols] = pre_b.reshape(Gb, -1, C)
+        a = _gelu(pre_b.astype(jnp.float32), tanh_gelu).astype(x.dtype)
+        out = out + jnp.dot(a, w2_ref[cols, :],
+                            preferred_element_type=jnp.float32)
     out = out + b2_ref[...].astype(jnp.float32)[None, :]
     if not deterministic and hidden_rate > 0.0:
         keep = _keep_mask(seed_ref[0] + FFN_SEED_OFFSET + b, hidden_rate,
                           out.shape)
         out = jnp.where(keep, out * (1.0 / (1.0 - hidden_rate)), 0.0)
     z = x.astype(jnp.float32) + out
-    z_ref[0] = z.astype(z_ref.dtype)
+    z_ref[...] = z.astype(z_ref.dtype).reshape(z_ref.shape)
     mean = jnp.mean(z, axis=-1, keepdims=True)
     zc = z - mean
     var = jnp.mean(zc * zc, axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     y = (zc * rstd) * sc_ref[...].astype(jnp.float32)[None, :] \
         + lb_ref[...].astype(jnp.float32)[None, :]
-    y_ref[0] = y.astype(y_ref.dtype)
+    y_ref[...] = y.astype(y_ref.dtype).reshape(y_ref.shape)
     # stats laid out [L_pad, 1]: keeps L on the sublane dim so the
     # kernel accepts 8-granular (not 128-granular) sequence lengths —
     # crop-shaped batches (L=136 at the reference recipe) would
     # otherwise pad to 256 and waste ~half the FFN work
-    mean_ref[0] = mean
-    rstd_ref[0] = rstd
+    mean_ref[...] = mean.reshape(mean_ref.shape)
+    rstd_ref[...] = rstd.reshape(rstd_ref.shape)
 
 
 def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
@@ -106,11 +154,13 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
                 tanh_gelu, deterministic):
     b = pl.program_id(0)
     dt = x_ref.dtype
-    z = z_ref[0].astype(jnp.float32)
-    mean = mean_ref[0]          # [L_pad, 1]
-    rstd = rstd_ref[0]
+    D = x_ref.shape[-1]
+    F = w1_ref.shape[-1]
+    z = z_ref[...].reshape(-1, D).astype(jnp.float32)
+    mean = mean_ref[...].reshape(-1, 1)     # [G*L_pad, 1]
+    rstd = rstd_ref[...].reshape(-1, 1)
     zhat = (z - mean) * rstd
-    dy = dy_ref[0].astype(jnp.float32)
+    dy = dy_ref[...].reshape(-1, D).astype(jnp.float32)
     scale = sc_ref[...].astype(jnp.float32)[None, :]
 
     @pl.when(b == 0)
@@ -137,7 +187,7 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
         dout = jnp.where(keep, dout * (1.0 / (1.0 - hidden_rate)), 0.0)
     dout_b = dout.astype(dt)
 
-    pre = pre_ref[0].astype(jnp.float32)
+    pre = pre_ref[...].reshape(-1, F).astype(jnp.float32)
     a = _gelu(pre, tanh_gelu).astype(dt)
     # dW2 = a^T @ dout (contract over L); db2
     dw2_ref[...] += jax.lax.dot_general(
@@ -148,14 +198,14 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
     da = jax.lax.dot_general(dout_b, w2_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dpre = (da * _gelu_grad(pre, tanh_gelu)).astype(dt)
-    x = x_ref[0]
+    x = x_ref[...].reshape(-1, D)
     dw1_ref[...] += jax.lax.dot_general(
         x, dpre, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     db1_ref[...] += jnp.sum(dpre.astype(jnp.float32), axis=0)
     dx_mm = jax.lax.dot_general(dpre, w1_ref[...], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    dx_ref[0] = (dz + dx_mm).astype(dx_ref.dtype)
+    dx_ref[...] = (dz + dx_mm).astype(dx_ref.dtype).reshape(dx_ref.shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
@@ -177,6 +227,7 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
     # (stats are [L_pad, 1]), so crop-length batches avoid the 128-lane
     # round-up the attention kernel's [L, L] scores require
     L_pad = -(-L // 8) * 8
+    G = _pick_group(B, L_pad)
     xp = _pad_l(x, L_pad, 1)
     if seed is None:
         seed = jnp.int32(0)
@@ -187,10 +238,10 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
     full = lambda b: (b, 0, 0)
     y, pre, z, mean, rstd = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((G, L_pad, D), full),
             pl.BlockSpec((D, F), lambda b: (0, 0)),
             pl.BlockSpec((F,), lambda b: (0,)),
             pl.BlockSpec((F, D), lambda b: (0, 0)),
@@ -199,11 +250,11 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
             pl.BlockSpec((D,), lambda b: (0,)),
         ],
         out_specs=[
-            pl.BlockSpec((1, L_pad, D), full),
-            pl.BlockSpec((1, L_pad, F), full),
-            pl.BlockSpec((1, L_pad, D), full),
-            pl.BlockSpec((1, L_pad, 1), full),
-            pl.BlockSpec((1, L_pad, 1), full),
+            pl.BlockSpec((G, L_pad, D), full),
+            pl.BlockSpec((G, L_pad, F), full),
+            pl.BlockSpec((G, L_pad, D), full),
+            pl.BlockSpec((G, L_pad, 1), full),
+            pl.BlockSpec((G, L_pad, 1), full),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
@@ -247,24 +298,27 @@ def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
     kern = functools.partial(_bwd_kernel, hidden_rate=hidden_rate,
                              eps=eps, tanh_gelu=tanh_gelu,
                              deterministic=deterministic)
+    # same grouping decision as the forward (pure function of shapes, so
+    # the dropout-mask streams line up program-for-program)
+    G = _pick_group(B, L_pad)
     full = lambda b: (b, 0, 0)
     dx, dw1, db1, dw2, db2, dsc, dlb = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((G, L_pad, D), full),
             pl.BlockSpec((D, F), lambda b: (0, 0)),
             pl.BlockSpec((F, D), lambda b: (0, 0)),
             pl.BlockSpec((D,), lambda b: (0,)),
-            pl.BlockSpec((1, L_pad, F), full),
-            pl.BlockSpec((1, L_pad, D), full),
-            pl.BlockSpec((1, L_pad, 1), full),
-            pl.BlockSpec((1, L_pad, 1), full),
-            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((G, L_pad, F), full),
+            pl.BlockSpec((G, L_pad, D), full),
+            pl.BlockSpec((G, L_pad, 1), full),
+            pl.BlockSpec((G, L_pad, 1), full),
+            pl.BlockSpec((G, L_pad, D), full),
         ],
         out_specs=[
-            pl.BlockSpec((1, L_pad, D), full),
+            pl.BlockSpec((G, L_pad, D), full),
             pl.BlockSpec((D, F), lambda b: (0, 0)),
             pl.BlockSpec((F,), lambda b: (0,)),
             pl.BlockSpec((F, D), lambda b: (0, 0)),

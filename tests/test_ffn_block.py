@@ -55,6 +55,23 @@ class TestInterpret:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-4, atol=3e-4)
 
+    def test_batch_grouping_invariant(self, monkeypatch):
+        """The rows-per-program batch grouping (G elements flattened to
+        one [G*L_pad, D] matrix per program) must not change forward
+        numerics: every op in the block is row-local."""
+        rng = np.random.default_rng(3)
+        args = make_inputs(rng, 8, 24, 32, 128)
+        monkeypatch.setattr(FB, "_ROWS_TARGET", 0)   # force G=1
+        assert FB._pick_group(8, 24) == 1
+        ref = FB.ffn_block_interpret(*args, jnp.int32(0), 0.0, 1e-12,
+                                     True, True)
+        monkeypatch.setattr(FB, "_ROWS_TARGET", 1024)
+        assert FB._pick_group(8, 24) == 8
+        out = FB.ffn_block_interpret(*args, jnp.int32(0), 0.0, 1e-12,
+                                     True, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
 
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",

@@ -60,6 +60,19 @@ class TestTrainer:
         assert int(np.asarray(t.state.step)) == 6
 
     @pytest.mark.slow
+    def test_fit_tensor_parallel_mesh(self, tmp_path):
+        """Full trainer loop on a (data=4, model=2) mesh: place_state
+        TP-shards the encoders inside the Trainer (production path, not
+        just the placement helper)."""
+        cfg = tiny_cfg(tmp_path, per_device_batch_size=4)
+        m = meshlib.make_mesh(data=4, model=2)
+        t = Trainer(cfg, tiny_mcfg(), mesh=m)
+        assert "model" in tuple(
+            t.state.params_q["layers"]["q_kernel"].sharding.spec)
+        t.fit(micro_epoch(0, 100, t.global_micro, 16, 211))
+        assert int(np.asarray(t.state.step)) == 6
+
+    @pytest.mark.slow
     def test_save_resume_roundtrip(self, tmp_path):
         cfg = tiny_cfg(tmp_path, total_steps=3)
         t = Trainer(cfg, tiny_mcfg())
