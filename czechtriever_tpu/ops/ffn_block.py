@@ -112,7 +112,12 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
     rows = x.shape[0]
     F = w1_ref.shape[-1]
     D = x_ref.shape[-1]
-    nc = _FWD_F_CHUNKS if F % _FWD_F_CHUNKS == 0 else 1
+    # clamp to 1 for zero/negative env values (ZeroDivisionError at trace
+    # time otherwise) and keep per-chunk column width 128-lane aligned so
+    # pre_ref column stores lower cleanly for non-standard F
+    nc = (_FWD_F_CHUNKS
+          if (_FWD_F_CHUNKS > 0 and F % _FWD_F_CHUNKS == 0
+              and (F // _FWD_F_CHUNKS) % 128 == 0) else 1)
     C = F // nc
     Gb = pre_ref.shape[0]
     out = jnp.zeros((rows, D), jnp.float32)

@@ -145,9 +145,54 @@ def _teacher_specs(tcfg, model: int):
         return gemma.partition_specs(tcfg)
     if isinstance(tcfg, bert.BertConfig):
         if tcfg.num_attention_heads % model:
+            logging.getLogger(__name__).warning(
+                "teacher heads (%d) not divisible by model axis %d; "
+                "replicating the teacher", tcfg.num_attention_heads, model)
             return None
         return bert.partition_specs(tcfg)
+    logging.getLogger(__name__).warning(
+        "unknown teacher config type %s: replicating the teacher on the "
+        "TP mesh (a multi-GB teacher replicated per-chip is exactly the "
+        "OOM the model axis exists to avoid)", type(tcfg).__name__)
     return None
+
+
+def _place_opt_state(mesh, opt_state, params, tx):
+    """Re-place an existing (possibly checkpoint-restored) optimizer state
+    onto the sharded params' layout.
+
+    ``tx.init(params)`` here would silently zero the Adam moments and
+    reset the optax schedule count on a TP resume — the trainer routes
+    restored states through place_state (trainer.py:125), so the restored
+    values must survive. Target shardings come from an AOT lowering of
+    tx.init over the already-placed params: moment leaves inherit exactly
+    the param shardings, scalar leaves (counts) replicate. Falls back to
+    a fresh init only when the restored state's tree structure does not
+    match this optimizer (e.g. --reset_optimizer semantics,
+    /root/reference/src/utils.py:85-90)."""
+    abstract = jax.eval_shape(tx.init, params)
+    if (jax.tree.structure(abstract) != jax.tree.structure(opt_state)):
+        logging.getLogger(__name__).warning(
+            "restored optimizer state does not match the current "
+            "optimizer's structure; re-initializing (moments reset)")
+        return tx.init(params)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # Eager tx.init over the placed params propagates their shardings to
+    # the moment leaves (zeros_like keeps sharding); the fresh zeros are
+    # dropped immediately — only their shardings are kept. Scalar leaves
+    # (adam/schedule counts) may come back single-device: replicate those.
+    fresh = tx.init(params)
+    rep = NamedSharding(mesh, PartitionSpec())
+    shardings = jax.tree.map(
+        lambda x: (x.sharding
+                   if len(x.sharding.device_set) == mesh.size else rep),
+        fresh)
+    for leaf in jax.tree.leaves(fresh):
+        leaf.delete()
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(jnp.asarray(leaf), s),
+        opt_state, shardings)
 
 
 def place_state(mesh, state, mcfg: bert.BertConfig, tx, tcfg=None):
@@ -157,9 +202,9 @@ def place_state(mesh, state, mcfg: bert.BertConfig, tx, tcfg=None):
     every rank holds the whole model, train.py:482-489). model axis > 1:
     Megatron-style tensor parallelism — encoder params (and, for distill,
     the teacher) sharded over the model axis via partition_specs, the
-    optimizer state re-initialized from the sharded params so its moments
-    inherit the sharding, queue/step/pointer replicated. XLA inserts the
-    row-parallel psums from the annotations.
+    optimizer state re-placed onto the sharded params' layout (values
+    preserved — see _place_opt_state), queue/step/pointer replicated.
+    XLA inserts the row-parallel psums from the annotations.
     """
     from jax.sharding import NamedSharding
     from czechtriever_tpu.parallel import mesh as meshlib
@@ -181,7 +226,8 @@ def place_state(mesh, state, mcfg: bert.BertConfig, tx, tcfg=None):
     if isinstance(state, InBatchState):
         params = put(state.params, specs)
         return state.replace(
-            params=params, opt_state=tx.init(params),
+            params=params,
+            opt_state=_place_opt_state(mesh, state.opt_state, params, tx),
             step=jax.device_put(state.step, rep),
             init_params=(None if state.init_params is None
                          else put(state.init_params, specs)))
@@ -194,7 +240,7 @@ def place_state(mesh, state, mcfg: bert.BertConfig, tx, tcfg=None):
                              else put(state.params_t, tspecs))
     return state.replace(
         params_q=params_q, params_k=put(state.params_k, specs),
-        opt_state=tx.init(params_q),
+        opt_state=_place_opt_state(mesh, state.opt_state, params_q, tx),
         queue=jax.device_put(state.queue, rep),
         queue_ptr=jax.device_put(state.queue_ptr, rep),
         step=jax.device_put(state.step, rep),

@@ -242,7 +242,7 @@ class TestRecallAtScale:
         # clustered corpus caps far below 1.0 (same finding as the 1M
         # parity table in docs/PERF.md) — but the coarse neighborhood
         # (recall@100) must stay intact
-        assert r10 > 0.25
+        assert r10 > 0.30  # measured 0.327 on chip; pin close to it
         assert r100 > 0.85
         assert pq.memory_bytes() < n * d * 4 / 20  # >20x compression
 
@@ -258,3 +258,7 @@ class TestRecallAtScale:
         # clustered data (residual coding compensates the pruning)
         assert r10i > r10 - 0.08
         assert r100i > r100 - 0.08
+        # absolute floors too, so the relative check and the PQ baseline
+        # can't both drift down together (advisor r2)
+        assert r10i > 0.25
+        assert r100i > 0.80

@@ -91,6 +91,40 @@ class TestTrainer:
         t2.fit(micro_epoch(1, 100, t2.global_micro, 16, 211))
         assert int(np.asarray(t2.state.step)) == 5
 
+    @pytest.mark.slow
+    def test_tp_resume_preserves_opt_state(self, tmp_path):
+        """TP resume must keep Adam moments and the schedule count —
+        place_state used to tx.init() them away, silently restarting LR
+        warmup while state.step said otherwise (advisor r2, high)."""
+        cfg = tiny_cfg(tmp_path, per_device_batch_size=4, total_steps=3)
+        m = meshlib.make_mesh(data=4, model=2)
+        t = Trainer(cfg, tiny_mcfg(), mesh=m)
+        t.fit(micro_epoch(0, 100, t.global_micro, 16, 211))
+        t.save("lastlog")
+        saved_opt = jax.tree.map(np.asarray, t.state.opt_state)
+        # sanity: after 3 steps the moments are genuinely non-zero
+        assert any(np.abs(x).max() > 0 for x in jax.tree.leaves(saved_opt)
+                   if getattr(x, "ndim", 0) > 0)
+
+        t2 = Trainer(cfg.replace(total_steps=5), tiny_mcfg(),
+                     mesh=meshlib.make_mesh(data=4, model=2))
+        assert t2.maybe_resume() == 3
+        for a, b in zip(jax.tree.leaves(saved_opt),
+                        jax.tree.leaves(t2.state.opt_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=0)
+        counts = [int(np.asarray(x)) for x in jax.tree.leaves(
+            t2.state.opt_state) if getattr(x, "ndim", None) == 0]
+        assert 3 in counts, f"schedule/adam count reset: {counts}"
+        # moments stay sharded over the model axis, not replicated
+        qshape = t2.state.params_q["layers"]["q_kernel"].shape
+        moments = [x for x in jax.tree.leaves(t2.state.opt_state)
+                   if getattr(x, "shape", None) == qshape]
+        assert moments and all(
+            "model" in tuple(x.sharding.spec) for x in moments)
+        t2.fit(micro_epoch(1, 100, t2.global_micro, 16, 211))
+        assert int(np.asarray(t2.state.step)) == 5
+
     def test_indivisible_batch_raises(self, tmp_path):
         cfg = tiny_cfg(tmp_path, target_batch_size=33)
         with pytest.raises(ValueError):
