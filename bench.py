@@ -55,7 +55,9 @@ def model_flops_per_pair(mcfg, seq: int, queue_size: int,
     # full remat recomputes the fwd matmuls in bwd; 'dots' recomputes
     # only elementwise, so its matmul FLOPs match no-remat
     passes = (4 if remat in (True, "full") else 3) + 1
-    queue_mm = 3 * 2 * mcfg.hidden_size * queue_size  # l_neg fwd + dq
+    # the queue is stop-gradient: only the l_neg forward and the dq
+    # grad matmul exist — 2 passes, not 3 (there is no d(queue))
+    queue_mm = 2 * 2 * mcfg.hidden_size * queue_size
     return passes * fwd_per_token * seq + queue_mm
 
 
@@ -137,10 +139,12 @@ def main():
     # 551.6 > B=64 x 8 543.2 > B=32 x 16 526.3; B=256 OOMs to the dots
     # ladder and loses. Larger microbatches amortize per-program kernel
     # dispatch + the stacked-save DUS traffic per pair
-    p.add_argument("--workload", default="recipe",
-                   choices=("recipe", "full"))
+    p.add_argument("--workload", default="both",
+                   choices=("both", "recipe", "full"))
     # recipe: seq 136 = the static pair shape the reference recipe's
-    # crop distribution produces (see module docstring); full: seq 256
+    # crop distribution produces (see module docstring); full: seq 256;
+    # both (default): measure the two shapes and emit them in ONE JSON
+    # line so the driver-captured bench artifact is self-describing
     p.add_argument("--seq", type=int, default=None)
     p.add_argument("--queue_size", type=int, default=131072)
     p.add_argument("--steps", type=int, default=6)
@@ -168,62 +172,80 @@ def main():
     # fused FFN block (ops/ffn_block.py): 526.3 vs 501.4 pairs/s with
     # the XLA FFN chain (both under flash_block attention)
     args = p.parse_args()
-    if args.seq is None:
-        args.seq = 136 if args.workload == "recipe" else 256
 
-    batch = args.batch
-    remat = args.remat
-    retried_same = False
-    while True:
-        try:
-            sps, spstep, loss = run(batch, args.accum, args.seq,
-                                    args.queue_size, args.steps, remat,
-                                    args.attention, args.gelu, args.unroll,
-                                    args.ema_every_step, args.ffn)
-            break
-        except Exception as e:
-            oom = ("RESOURCE_EXHAUSTED" in str(e)
-                   or "Ran out of memory" in str(e))
-            if oom and not retried_same:
-                # transient: the tunnel server can still hold a previous
-                # client's HBM when this one starts, so a first OOM is
-                # not proof the config doesn't fit — observed flaky at
-                # B=128 (fits at 8.1 GB of 16, docs/PERF.md shakeout)
-                print(f"OOM at batch {batch}/{remat}; retrying same "
-                      f"config once before degrading", file=sys.stderr)
-                retried_same = True
-                time.sleep(10)
-            elif oom and remat == "none":
-                print("OOM without remat, retrying with 'dots'",
-                      file=sys.stderr)
-                remat = "dots"
-                retried_same = False
-            elif oom and batch > 8:
-                print(f"OOM at batch {batch}, halving", file=sys.stderr)
-                batch //= 2
-                retried_same = False
-            else:
-                raise
-    from czechtriever_tpu.models import bert as bertlib
-    mcfg = bertlib.BertConfig(vocab_size=30522)
-    mfu = sps * model_flops_per_pair(mcfg, args.seq, args.queue_size,
-                                     remat) / V5E_PEAK_FLOPS
-    print(f"workload={args.workload} batch={batch} accum={args.accum} "
-          f"seq={args.seq} step={spstep*1000:.1f}ms loss={loss:.4f} "
-          f"attention={args.attention} remat={remat} "
-          f"mfu={100*mfu:.1f}%", file=sys.stderr)
-    print(f"(reference-recipe pair shape = crops<=130 tokens padded to "
-          f"136, src/data.py:563-573; run --workload full for the "
-          f"harder all-256 shape)", file=sys.stderr)
-    print(json.dumps({
+    def measure(seq):
+        """One workload shape, with the OOM degradation ladder."""
+        batch = args.batch
+        remat = args.remat
+        retried_same = False
+        while True:
+            try:
+                sps, spstep, loss = run(batch, args.accum, seq,
+                                        args.queue_size, args.steps, remat,
+                                        args.attention, args.gelu,
+                                        args.unroll, args.ema_every_step,
+                                        args.ffn)
+                break
+            except Exception as e:
+                oom = ("RESOURCE_EXHAUSTED" in str(e)
+                       or "Ran out of memory" in str(e))
+                if oom and not retried_same:
+                    # transient: the tunnel server can still hold a
+                    # previous client's HBM when this one starts, so a
+                    # first OOM is not proof the config doesn't fit —
+                    # observed flaky at B=128 (fits at 8.1 GB of 16,
+                    # docs/PERF.md shakeout)
+                    print(f"OOM at batch {batch}/{remat}; retrying same "
+                          f"config once before degrading", file=sys.stderr)
+                    retried_same = True
+                    time.sleep(10)
+                elif oom and remat == "none":
+                    print("OOM without remat, retrying with 'dots'",
+                          file=sys.stderr)
+                    remat = "dots"
+                    retried_same = False
+                elif oom and batch > 8:
+                    print(f"OOM at batch {batch}, halving", file=sys.stderr)
+                    batch //= 2
+                    retried_same = False
+                else:
+                    raise
+        from czechtriever_tpu.models import bert as bertlib
+        mcfg = bertlib.BertConfig(vocab_size=30522)
+        mfu = sps * model_flops_per_pair(mcfg, seq, args.queue_size,
+                                         remat) / V5E_PEAK_FLOPS
+        print(f"seq={seq} batch={batch} accum={args.accum} "
+              f"step={spstep*1000:.1f}ms loss={loss:.4f} "
+              f"attention={args.attention} remat={remat} "
+              f"mfu={100*mfu:.1f}%", file=sys.stderr)
+        return {"value": round(sps, 2),
+                "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_S, 3),
+                "mfu_pct": round(100 * mfu, 1), "seq": seq}
+
+    shapes = {"recipe": 136, "full": 256}
+    if args.seq is not None and args.workload != "both":
+        shapes[args.workload] = args.seq
+    want = ("recipe", "full") if args.workload == "both" \
+        else (args.workload,)
+    results = {w: measure(shapes[w]) for w in want}
+
+    print("(reference-recipe pair shape = crops<=130 tokens padded to "
+          "136, src/data.py:563-573; 'full_256' is the strictly harder "
+          "all-256 shape the recipe's hot loop never sees)",
+          file=sys.stderr)
+    headline = results.get("recipe") or results["full"]
+    out = {
         "metric": "moco_train_pairs_per_s",
-        "value": round(sps, 2),
+        "value": headline["value"],
         "unit": "pairs/s",
-        "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_S, 3),
-        "mfu_pct": round(100 * mfu, 1),
-        "workload": args.workload,
-        "seq": args.seq,
-    }))
+        "vs_baseline": headline["vs_baseline"],
+        "mfu_pct": headline["mfu_pct"],
+        "workload": "recipe" if "recipe" in results else "full",
+        "seq": headline["seq"],
+    }
+    if "full" in results and "recipe" in results:
+        out["full_256"] = results["full"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
