@@ -42,17 +42,34 @@ from czechtriever_tpu.ops.attention import LANE, _keep_mask, _pad_l
 HIDDEN_SEED_OFFSET = 0x40000000  # disjoint from the per-(b,h) attention seeds
 
 
-def _mha_ctx(q_ref, k_ref, v_ref, bias_row, m_ref, l_ref, seed_ref, b,
+def _col_to_row(col, lane_pad):
+    """[L, 1] f32 column -> [1, lane_pad] row (sublanes -> lanes).
+
+    The softmax/LN statistics are computed per Q row, so they live on
+    the sublane dim in-register; storing them that way gives the output
+    array a size-1 minor (lane) dim, which XLA materializes 128x padded
+    in HBM AND layout-converts around the layer scan's stacking DUS —
+    measured ~9% of the full-256 train step (docs/PERF.md). One VPU
+    transpose per stat here buys a compact, copy-free layout."""
+    L = col.shape[0]
+    if lane_pad > L:
+        col = jnp.concatenate(
+            [col, jnp.zeros((lane_pad - L, 1), col.dtype)], axis=0)
+    return jnp.transpose(col)
+
+
+def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
              n_heads, rate, deterministic, save_stats):
     """Per-head attention into a [Lq, HD] context, stats saved.
 
     Q rows are padded to 8-sublane granularity only (crop-shaped
     batches); K/V stay 128-lane padded because Lk is the scores' lane
-    dim. Stats are stored [H, Lq_pad, 1] — L on the sublane dim — for
-    the same reason (see ops/ffn_block.py)."""
+    dim. The softmax stats are folded into one logsumexp row per head,
+    stored [H, Lq_lane] with L on the LANE dim (see _col_to_row)."""
     H = n_heads
     D = q_ref.shape[-1] // H
     outs = []
+    lse_rows = []
     for h in range(H):
         cols = slice(h * D, (h + 1) * D)
         q = q_ref[0, :, cols]
@@ -70,18 +87,19 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, m_ref, l_ref, seed_ref, b,
                     preferred_element_type=jnp.float32)
         outs.append((o / l).astype(q_ref.dtype))
         if save_stats:
-            m_ref[0, h] = m
-            l_ref[0, h] = l
+            lse_rows.append(_col_to_row(m + jnp.log(l), lse_ref.shape[-1]))
+    if save_stats:
+        lse_ref[0] = jnp.concatenate(lse_rows, axis=0)
     return jnp.concatenate(outs, axis=-1)  # [Lq, HD]
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
-                sc_ref, lb_ref, bias_ref, y_ref, ctx_ref, m_ref, l_ref,
-                mean_ref, rstd_ref, *, n_heads, attn_rate, hidden_rate,
+                sc_ref, lb_ref, bias_ref, y_ref, ctx_ref, lse_ref,
+                ln_ref, *, n_heads, attn_rate, hidden_rate,
                 eps, deterministic):
     b = pl.program_id(0)
     bias_row = bias_ref[0, 0][None, :]
-    ctx = _mha_ctx(q_ref, k_ref, v_ref, bias_row, m_ref, l_ref, seed_ref,
+    ctx = _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref,
                    b, n_heads, attn_rate, deterministic, save_stats=True)
     ctx_ref[0] = ctx
     attn = jnp.dot(ctx, w_ref[...], preferred_element_type=jnp.float32)
@@ -99,19 +117,26 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
     y = zhat * sc_ref[...].astype(jnp.float32)[None, :] \
         + lb_ref[...].astype(jnp.float32)[None, :]
     y_ref[0] = y.astype(y_ref.dtype)
-    mean_ref[0] = mean
-    rstd_ref[0] = rstd
+    lane = ln_ref.shape[-1]
+    ln_ref[0] = jnp.concatenate(
+        [_col_to_row(mean, lane), _col_to_row(rstd, lane)], axis=0)
+
+
+def _row_to_col(row, L):
+    """[1, lane_pad] stat row -> [L, 1] column (inverse of _col_to_row)."""
+    return jnp.transpose(row)[:L]
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
-                sc_ref, bias_ref, ctx_ref, m_ref, l_ref, mean_ref,
-                rstd_ref, dy_ref, dq_ref, dk_ref, dv_ref, dx_ref, dw_ref,
+                sc_ref, bias_ref, ctx_ref, lse_ref, ln_ref,
+                dy_ref, dq_ref, dk_ref, dv_ref, dx_ref, dw_ref,
                 dbo_ref, dsc_ref, dlb_ref, *, n_heads, attn_rate,
                 hidden_rate, eps, deterministic):
     b = pl.program_id(0)
     H = n_heads
     D = q_ref.shape[-1] // H
     HD = q_ref.shape[-1]
+    Lq = q_ref.shape[1]
     dt = q_ref.dtype
     bias_row = bias_ref[0, 0][None, :]
 
@@ -125,8 +150,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
         inv2 = 1.0 / (1.0 - hidden_rate)
         attn = jnp.where(keep2, attn * inv2, 0.0)
     z = x_ref[0].astype(jnp.float32) + attn
-    mean = mean_ref[0]          # [Lq_pad, 1]
-    rstd = rstd_ref[0]
+    mean = _row_to_col(ln_ref[0, 0:1, :], Lq)   # [Lq_pad, 1]
+    rstd = _row_to_col(ln_ref[0, 1:2, :], Lq)
+    rstd = jnp.where(rstd == 0.0, 1.0, rstd)    # fully-padded rows
     zhat = (z - mean) * rstd
 
     dy = dy_ref[0].astype(jnp.float32)
@@ -173,7 +199,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (1.0 / math.sqrt(D)) + bias_row
-        p = jnp.exp(s - m_ref[0, h]) / l_ref[0, h]
+        p = jnp.exp(s - _row_to_col(lse_ref[0, h:h + 1, :], Lq))
         if not deterministic and attn_rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, attn_rate, p.shape)
             inv = 1.0 / (1.0 - attn_rate)
@@ -224,9 +250,12 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
     B, L, HD = q.shape
     H = n_heads
     # Q rows pad to 8-sublane granularity (crop-shaped batches); K/V/bias
-    # pad to the 128-lane multiple because Lk is the scores' lane dim
+    # pad to the 128-lane multiple because Lk is the scores' lane dim.
+    # Stats arrays put L on the LANE dim (compact HBM layout), so their
+    # L pads to 128 — cheap, they are tiny.
     Lq_pad = -(-L // 8) * 8
     Lk_pad = -(-L // LANE) * LANE
+    Lq_lane = -(-Lq_pad // LANE) * LANE
     qp, xp = (_pad_l(t, Lq_pad, 1) for t in (q, x))
     kp, vp = (_pad_l(t, Lk_pad, 1) for t in (k, v))
     biasp = _pad_l(bias, Lk_pad, 1) + jnp.where(
@@ -241,7 +270,7 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
     full = lambda b: (b, 0, 0)
     wspec = pl.BlockSpec((HD, HD), lambda b: (0, 0))
     vec = pl.BlockSpec((HD,), lambda b: (0,))
-    y, ctx, m, l, mean, rstd = pl.pallas_call(
+    y, ctx, lse, ln = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -256,18 +285,14 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
         out_specs=[
             pl.BlockSpec((1, Lq_pad, HD), full),
             pl.BlockSpec((1, Lq_pad, HD), full),
-            pl.BlockSpec((1, H, Lq_pad, 1), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Lq_pad, 1), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, Lq_pad, 1), full),
-            pl.BlockSpec((1, Lq_pad, 1), full),
+            pl.BlockSpec((1, H, Lq_lane), full),
+            pl.BlockSpec((1, 2, Lq_lane), full),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq_pad, HD), x.dtype),
             jax.ShapeDtypeStruct((B, Lq_pad, HD), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Lq_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Lq_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, Lq_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, Lq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Lq_lane), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, Lq_lane), jnp.float32),
         ],
         # the per-program working set (ctx + f32 intermediates + weight
         # block) exceeds the default 16 MB scoped-VMEM stack at L>=384
@@ -276,12 +301,12 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, xp,
       wo, bo, scale, ln_bias, biasp)
-    return y[:, :L], ctx, m, l, mean, rstd
+    return y[:, :L], ctx, lse, ln
 
 
 def _block_fwd(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
                attn_rate, hidden_rate, eps, deterministic):
-    y, ctx, m, l, mean, rstd = _block_call(
+    y, ctx, lse, ln = _block_call(
         q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
         attn_rate, hidden_rate, eps, deterministic)
     # tag residuals for selective-remat policies (models/bert.py
@@ -289,19 +314,18 @@ def _block_fwd(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
     # re-run the whole fused kernel in the backward
     from jax.ad_checkpoint import checkpoint_name
     ctx = checkpoint_name(ctx, "flash_stats")
-    m = checkpoint_name(m, "flash_stats")
-    l = checkpoint_name(l, "flash_stats")
-    mean = checkpoint_name(mean, "flash_stats")
-    rstd = checkpoint_name(rstd, "flash_stats")
-    return y, (q, k, v, x, wo, bo, scale, bias, seed, ctx, m, l, mean, rstd)
+    lse = checkpoint_name(lse, "flash_stats")
+    ln = checkpoint_name(ln, "flash_stats")
+    return y, (q, k, v, x, wo, bo, scale, bias, seed, ctx, lse, ln)
 
 
 def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
                res, dy):
-    q, k, v, x, wo, bo, scale, bias, seed, ctx, m, l, mean, rstd = res
+    q, k, v, x, wo, bo, scale, bias, seed, ctx, lse, ln = res
     B, L, HD = q.shape
     H = n_heads
-    Lq_pad = m.shape[2]
+    Lq_pad = ctx.shape[1]
+    Lq_lane = lse.shape[2]
     Lk_pad = -(-L // LANE) * LANE
     qp, xp = (_pad_l(t, Lq_pad, 1) for t in (q, x))
     kp, vp = (_pad_l(t, Lk_pad, 1) for t in (k, v))
@@ -311,8 +335,8 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
     biasp = biasp[:, None, :]
     if seed is None:
         seed = jnp.int32(0)
-    l = jnp.where(l == 0.0, 1.0, l)
-    rstd = jnp.where(rstd == 0.0, 1.0, rstd)
+    # padded-row guards (l == 0 / rstd == 0) live inside the kernel now:
+    # an XLA-side where() on the stats arrays was a separate fusion
 
     kern = functools.partial(_bwd_kernel, n_heads=H, attn_rate=attn_rate,
                              hidden_rate=hidden_rate, eps=eps,
@@ -332,10 +356,8 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
             acc2, acc1, acc1,
             pl.BlockSpec((1, 1, Lk_pad), full),
             pl.BlockSpec((1, Lq_pad, HD), full),
-            pl.BlockSpec((1, H, Lq_pad, 1), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Lq_pad, 1), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, Lq_pad, 1), full),
-            pl.BlockSpec((1, Lq_pad, 1), full),
+            pl.BlockSpec((1, H, Lq_lane), full),
+            pl.BlockSpec((1, 2, Lq_lane), full),
             pl.BlockSpec((1, Lq_pad, HD), full),
         ],
         out_specs=[
@@ -359,7 +381,7 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=False,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), qp, kp, vp, xp,
-      wo, bo, scale, biasp, ctx, m, l, mean, rstd, dyp)
+      wo, bo, scale, biasp, ctx, lse, ln, dyp)
     return (dq[:, :L], dk[:, :L], dv[:, :L], dx[:, :L],
             dw.astype(wo.dtype), dbo.astype(bo.dtype),
             dsc.astype(scale.dtype), dlb.astype(scale.dtype),

@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from czechtriever_tpu.ops.attention import LANE, _keep_mask, _pad_l
+from czechtriever_tpu.ops.attention_block import _col_to_row, _row_to_col
 
 FFN_SEED_OFFSET = 0x20000000  # disjoint from attention_block's streams
 
@@ -103,7 +104,7 @@ def _gelu_grad(x, tanh_approx: bool):
 
 
 def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
-                lb_ref, y_ref, pre_ref, z_ref, mean_ref, rstd_ref, *,
+                lb_ref, y_ref, pre_ref, z_ref, ln_ref, *,
                 hidden_rate, eps, tanh_gelu, deterministic):
     b = pl.program_id(0)
     # the block holds G batch elements; every op here is row-local, so
@@ -145,16 +146,24 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
     y = (zc * rstd) * sc_ref[...].astype(jnp.float32)[None, :] \
         + lb_ref[...].astype(jnp.float32)[None, :]
     y_ref[...] = y.astype(y_ref.dtype).reshape(y_ref.shape)
-    # stats laid out [L_pad, 1]: keeps L on the sublane dim so the
-    # kernel accepts 8-granular (not 128-granular) sequence lengths —
-    # crop-shaped batches (L=136 at the reference recipe) would
-    # otherwise pad to 256 and waste ~half the FFN work
-    mean_ref[...] = mean.reshape(mean_ref.shape)
-    rstd_ref[...] = rstd.reshape(rstd_ref.shape)
+    # stats stored [G, 2, L_lane] (mean row, rstd row) with L on the
+    # LANE dim: a trailing size-1 lane dim made XLA materialize them
+    # 128x padded in HBM and layout-convert around the layer scan's
+    # stacking DUS (measured ~9% of the full-256 step together with the
+    # attention stats). The compute blocks keep their 8-granular sublane
+    # L — only these tiny stat rows pad L to 128 (see
+    # ops/attention_block._col_to_row).
+    L_pad = x_ref.shape[1]
+    lane = ln_ref.shape[-1]
+    for g in range(Gb):
+        rows = slice(g * L_pad, (g + 1) * L_pad)
+        ln_ref[g] = jnp.concatenate(
+            [_col_to_row(mean[rows], lane), _col_to_row(rstd[rows], lane)],
+            axis=0)
 
 
 def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
-                mean_ref, rstd_ref, dy_ref, dx_ref, dw1_ref, db1_ref,
+                ln_ref, dy_ref, dx_ref, dw1_ref, db1_ref,
                 dw2_ref, db2_ref, dsc_ref, dlb_ref, *, hidden_rate, eps,
                 tanh_gelu, deterministic):
     b = pl.program_id(0)
@@ -162,8 +171,16 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
     D = x_ref.shape[-1]
     F = w1_ref.shape[-1]
     z = z_ref[...].reshape(-1, D).astype(jnp.float32)
-    mean = mean_ref[...].reshape(-1, 1)     # [G*L_pad, 1]
-    rstd = rstd_ref[...].reshape(-1, 1)
+    L_pad = x_ref.shape[1]
+    Gb = x_ref.shape[0]
+    # stats come in as [G, 2, L_lane] rows; rebuild [G*L_pad, 1] columns
+    mean = jnp.concatenate(
+        [_row_to_col(ln_ref[g, 0:1, :], L_pad) for g in range(Gb)],
+        axis=0)
+    rstd = jnp.concatenate(
+        [_row_to_col(ln_ref[g, 1:2, :], L_pad) for g in range(Gb)],
+        axis=0)
+    rstd = jnp.where(rstd == 0.0, 1.0, rstd)    # fully-padded rows
     zhat = (z - mean) * rstd
     dy = dy_ref[...].reshape(-1, D).astype(jnp.float32)
     scale = sc_ref[...].astype(jnp.float32)[None, :]
@@ -228,10 +245,12 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
                 eps, tanh_gelu, deterministic, interpret=False):
     B, L, D = x.shape
     F = w1.shape[1]
-    # sublane (8-row) granularity: L is never a lane dim in this kernel
-    # (stats are [L_pad, 1]), so crop-length batches avoid the 128-lane
-    # round-up the attention kernel's [L, L] scores require
+    # sublane (8-row) granularity: the COMPUTE blocks never put L on a
+    # lane dim, so crop-length batches avoid the 128-lane round-up the
+    # attention kernel's [L, L] scores require. Only the tiny stat rows
+    # (L on lanes for a compact HBM layout) round L up to 128.
     L_pad = -(-L // 8) * 8
+    L_lane = -(-L_pad // LANE) * LANE
     G = _pick_group(B, L_pad)
     xp = _pad_l(x, L_pad, 1)
     if seed is None:
@@ -241,7 +260,7 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
                              eps=eps, tanh_gelu=tanh_gelu,
                              deterministic=deterministic)
     full = lambda b: (b, 0, 0)
-    y, pre, z, mean, rstd = pl.pallas_call(
+    y, pre, z, ln = pl.pallas_call(
         kern,
         grid=(B // G,),
         in_specs=[
@@ -258,47 +277,45 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
             pl.BlockSpec((G, L_pad, D), full),
             pl.BlockSpec((G, L_pad, F), full),
             pl.BlockSpec((G, L_pad, D), full),
-            pl.BlockSpec((G, L_pad, 1), full),
-            pl.BlockSpec((G, L_pad, 1), full),
+            pl.BlockSpec((G, 2, L_lane), lambda b: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
             jax.ShapeDtypeStruct((B, L_pad, F), x.dtype),
             jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
-            jax.ShapeDtypeStruct((B, L_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, L_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, L_lane), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), xp, w1, b1, w2, b2,
       scale, ln_bias)
-    return y[:, :L], pre, z, mean, rstd
+    return y[:, :L], pre, z, ln
 
 
 def _block_fwd(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
                eps, tanh_gelu, deterministic):
-    y, pre, z, mean, rstd = _block_call(
+    y, pre, z, ln = _block_call(
         x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate, eps,
         tanh_gelu, deterministic)
     from jax.ad_checkpoint import checkpoint_name
     pre = checkpoint_name(pre, "flash_stats")
     z = checkpoint_name(z, "flash_stats")
-    mean = checkpoint_name(mean, "flash_stats")
-    rstd = checkpoint_name(rstd, "flash_stats")
-    return y, (x, w1, w2, scale, seed, pre, z, mean, rstd)
+    ln = checkpoint_name(ln, "flash_stats")
+    return y, (x, w1, w2, scale, seed, pre, z, ln)
 
 
 def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
-    x, w1, w2, scale, seed, pre, z, mean, rstd = res
+    x, w1, w2, scale, seed, pre, z, ln = res
     B, L, D = x.shape
     F = w1.shape[1]
     L_pad = pre.shape[1]
+    L_lane = ln.shape[-1]
     xp = _pad_l(x, L_pad, 1)
     dyp = _pad_l(dy, L_pad, 1)
     if seed is None:
         seed = jnp.int32(0)
-    rstd = jnp.where(rstd == 0.0, 1.0, rstd)
+    # the rstd == 0 padded-row guard lives inside the kernel now
 
     kern = functools.partial(_bwd_kernel, hidden_rate=hidden_rate,
                              eps=eps, tanh_gelu=tanh_gelu,
@@ -318,8 +335,7 @@ def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
             pl.BlockSpec((D,), lambda b: (0,)),
             pl.BlockSpec((G, L_pad, F), full),
             pl.BlockSpec((G, L_pad, D), full),
-            pl.BlockSpec((G, L_pad, 1), full),
-            pl.BlockSpec((G, L_pad, 1), full),
+            pl.BlockSpec((G, 2, L_lane), lambda b: (b, 0, 0)),
             pl.BlockSpec((G, L_pad, D), full),
         ],
         out_specs=[
@@ -344,7 +360,7 @@ def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=False,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), xp, w1, w2, scale,
-      pre, z, mean, rstd, dyp)
+      pre, z, ln, dyp)
     return (dx[:, :L], dw1.astype(w1.dtype), db1.astype(w1.dtype),
             dw2.astype(w2.dtype), db2.astype(w2.dtype),
             dsc.astype(scale.dtype), dlb.astype(scale.dtype),
