@@ -93,12 +93,41 @@ class DenseEncoder:
         self.lower_case = lower_case
         self.normalize_text = normalize_text
         self.pooling = pooling
+        # multi-process: each process encodes a rank-strided shard of
+        # the texts on a LOCAL mesh and the embeddings are allgathered
+        # (reference rank-split + varsize gather,
+        # src/beir_utils.py:52-58,93-99,130-132). A global mesh cannot
+        # device_put per-host batches anyway.
+        self.multiprocess = meshlib.process_count() > 1
+        if mesh is not None and self.multiprocess:
+            mesh = meshlib.local_mesh()
         self.mesh = mesh
         self.bucket = bucket
         if mesh is not None:
             self.params = meshlib.replicate(mesh, params)
 
     def _encode_texts(self, texts, batch_size: int, normalize: bool,
+                      use_doc_encoder: bool = False) -> np.ndarray:
+        if self.multiprocess:
+            pidx = meshlib.process_index()
+            pcount = meshlib.process_count()
+            mine = texts[pidx::pcount]
+            if mine:
+                local = self._encode_local(mine, batch_size, normalize,
+                                           use_doc_encoder)
+            else:
+                local = np.zeros((0, self.mcfg.hidden_size), np.float32)
+            parts = meshlib.allgather_host_rows(local)
+            dim = max((p.shape[1] for p in parts if p.size),
+                      default=self.mcfg.hidden_size)
+            out = np.empty((len(texts), dim), np.float32)
+            for i, p in enumerate(parts):
+                out[i::pcount] = p
+            return out
+        return self._encode_local(texts, batch_size, normalize,
+                                  use_doc_encoder)
+
+    def _encode_local(self, texts, batch_size: int, normalize: bool,
                       use_doc_encoder: bool = False) -> np.ndarray:
         if self.normalize_text:
             texts = [normalize_fn(t) for t in texts]
@@ -161,6 +190,10 @@ def retrieve(encoder: DenseEncoder, corpus: Dict, queries: Dict,
     doc_emb = encoder.encode_corpus([corpus[d] for d in doc_ids], batch_size)
     q_emb = encoder.encode_queries([queries[q] for q in qids], batch_size)
 
+    if mesh is not None and meshlib.process_count() > 1:
+        # every process holds the full gathered embeddings; search on
+        # the local device slice (same results everywhere)
+        mesh = meshlib.local_mesh()
     index = FlatIndex(doc_emb.shape[1], mesh=mesh)
     index.index_data(doc_ids, doc_emb)
     hits = index.search_knn(q_emb, min(top_k, len(doc_ids)))

@@ -115,3 +115,37 @@ def process_count() -> int:
 
 def is_main() -> bool:
     return jax.process_index() == 0
+
+
+def local_mesh(model: int = 1) -> Mesh:
+    """A (data, model) mesh over THIS process's addressable devices only.
+
+    Multi-process evaluation encodes rank-split text shards locally
+    (the reference splits BEIR query/corpus encoding across ranks,
+    /root/reference/src/beir_utils.py:52-58,93-99); a global mesh would
+    force every host batch through cross-process collectives just to
+    run an embarrassingly parallel encode."""
+    return make_mesh(model=model, devices=jax.local_devices())
+
+
+def allgather_host_rows(parts: np.ndarray) -> list:
+    """Gather a variable-row host array from every process; returns the
+    per-process arrays in process order. The JAX analogue of the
+    reference's varsize_all_gather (src/dist_utils.py:17-45): pad to
+    the max row count, allgather, slice back.
+
+    Single-process: returns [parts] untouched (no device round-trip).
+    """
+    if jax.process_count() == 1:
+        return [np.asarray(parts)]
+    from jax.experimental import multihost_utils
+
+    parts = np.ascontiguousarray(parts)
+    n = np.asarray([parts.shape[0]], np.int32)
+    counts = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    m = int(counts.max())
+    if m > parts.shape[0]:
+        pad = np.zeros((m - parts.shape[0],) + parts.shape[1:], parts.dtype)
+        parts = np.concatenate([parts, pad], axis=0)
+    gathered = np.asarray(multihost_utils.process_allgather(parts))
+    return [gathered[i, :counts[i]] for i in range(len(counts))]

@@ -13,12 +13,58 @@ Modes:
                    trigger off SLURM_NTASKS and jax's SlurmCluster must
                    parse the coordinator from SLURM_STEP_NODELIST +
                    SLURM_JOB_ID (replacing the reference's env-var
-                   translation, /root/reference/src/slurm.py:51-74).
+                   translation, /root/reference/src/slurm.py:51-74);
+  * ``eval_single`` / ``eval_explicit`` — BEIR evaluate_model on a
+                   synthetic dataset under <out>/beir: multi-process
+                   rank-split encode + varsize gather must reproduce
+                   the single-process metrics exactly (the reference's
+                   distributed eval, src/beir_utils.py:52-58,93-99);
+  * ``distill_single`` / ``distill_explicit`` — the distill step on a
+                   (data=2, model=2) mesh with the gemma teacher
+                   TP-sharded over a model axis that CROSSES the
+                   process boundary in the explicit variant — the 9B
+                   bge-multilingual-gemma2 layout the reference's
+                   config-5 multi-host scenario needs
+                   (/root/reference/distill.py:466-470,504-509);
+  * ``fourproc``  — the MoCo trainer across 4 processes x 1 device.
 """
 
 import json
 import os
 import sys
+
+
+def run_eval(mode: str, proc_id: int, nproc: int, out: str) -> None:
+    """BEIR evaluate_model on the dataset the test wrote to <out>/beir.
+
+    Every process computes the metrics (is_main=True) so the test can
+    assert both cross-process agreement and parity with the
+    single-process oracle."""
+    import jax
+
+    from czechtriever_tpu.data.tokenizer import WordPieceTokenizer
+    from czechtriever_tpu.evaluation import beir as beir_eval
+    from czechtriever_tpu.models import bert
+    from czechtriever_tpu.parallel import mesh as meshlib
+
+    with open(os.path.join(out, "beir", "vocab.json")) as f:
+        vocab = json.load(f)
+    tok = WordPieceTokenizer({w: i for i, w in enumerate(vocab)})
+    mcfg = bert.BertConfig.tiny(vocab_size=len(vocab))
+    params = bert.init_params(jax.random.key(0), mcfg)
+    mesh = meshlib.make_mesh()
+    res = beir_eval.evaluate_model(
+        params, mcfg, tok, "toy", beir_dir=os.path.join(out, "beir"),
+        norm_query=True, norm_doc=True, k_values=(1, 3, 5), mesh=mesh,
+        is_main=True, batch_size=4)
+    result = {
+        "mode": mode, "proc_id": proc_id,
+        "process_count": meshlib.process_count(),
+        "is_main": meshlib.is_main(),
+        "metrics": res,
+    }
+    with open(os.path.join(out, f"proc{proc_id}.json"), "w") as f:
+        json.dump(result, f)
 
 
 def main() -> None:
@@ -49,11 +95,15 @@ def main() -> None:
     from czechtriever_tpu.parallel import mesh as meshlib
     from czechtriever_tpu.training import optim, state as statelib, steps
 
-    if mode == "explicit":
+    if mode in ("explicit", "eval_explicit"):
         meshlib.init_distributed(coordinator_address=f"127.0.0.1:{port}",
                                  num_processes=nproc, process_id=proc_id)
     elif mode == "slurm":
         meshlib.init_distributed()  # must auto-detect from SLURM env
+
+    if mode.startswith("eval"):
+        run_eval(mode, proc_id, nproc, out)
+        return
 
     assert len(jax.devices()) == 4, jax.devices()
     if mode != "single":

@@ -72,6 +72,46 @@ class TestMultiProcess:
             np.testing.assert_allclose(r["queue_norm"],
                                        single["queue_norm"], rtol=1e-5)
 
+    def test_two_process_beir_eval_parity(self, tmp_path):
+        """Multi-process BEIR evaluation (rank-split encode + varsize
+        gather, reference src/beir_utils.py:52-58,93-99) must reproduce
+        the single-process metrics exactly on the same dataset."""
+        root = tmp_path / "beir" / "toy"
+        root.mkdir(parents=True)
+        (root / "qrels").mkdir()
+        topics = [f"téma {i} slovo{i} konec" for i in range(9)]
+        fillers = [f"výplň dokument {i} obsah" for i in range(17)]
+        with open(root / "corpus.jsonl", "w") as f:
+            for i, t in enumerate(topics):
+                f.write(json.dumps({"_id": f"d{i}", "title": "",
+                                    "text": t}) + "\n")
+            for i, t in enumerate(fillers):
+                f.write(json.dumps({"_id": f"f{i}", "title": "t",
+                                    "text": t}) + "\n")
+        with open(root / "queries.jsonl", "w") as f:
+            for i, t in enumerate(topics):
+                f.write(json.dumps({"_id": f"q{i}", "text": t}) + "\n")
+        with open(root / "qrels" / "test.tsv", "w") as f:
+            f.write("query-id\tcorpus-id\tscore\n")
+            for i in range(len(topics)):
+                f.write(f"q{i}\td{i}\t1\n")
+        words = sorted({w for t in topics + fillers for w in t.split()})
+        vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+                 + [str(i) for i in range(20)] + ["t"])
+        with open(tmp_path / "beir" / "vocab.json", "w") as f:
+            json.dump(vocab, f)
+
+        single = _run_workers("eval_single", 1, 0, str(tmp_path))[0]
+        multi = _run_workers("eval_explicit", 2, _port(7), str(tmp_path))
+
+        assert single["metrics"]["NDCG@1"] == 100.0  # identical text
+        assert [r["process_count"] for r in multi] == [2, 2]
+        for r in multi:
+            assert r["metrics"].keys() == single["metrics"].keys()
+            for k, v in single["metrics"].items():
+                np.testing.assert_allclose(
+                    r["metrics"][k], v, rtol=1e-6, err_msg=k)
+
     def test_slurm_env_autodetect(self, tmp_path):
         """Workers get ONLY SLURM_* env vars (no coordinator args):
         parallel.mesh.init_distributed must trigger off SLURM_NTASKS and
