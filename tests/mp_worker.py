@@ -26,7 +26,8 @@ Modes:
                    bge-multilingual-gemma2 layout the reference's
                    config-5 multi-host scenario needs
                    (/root/reference/distill.py:466-470,504-509);
-  * ``fourproc``  — the MoCo trainer across 4 processes x 1 device.
+  * 4 processes — plain ``explicit`` with nproc=4 (1 device each); the
+                   test compares against the same single-process oracle.
 """
 
 import json
@@ -67,6 +68,83 @@ def run_eval(mode: str, proc_id: int, nproc: int, out: str) -> None:
         json.dump(result, f)
 
 
+def run_distill(mode: str, proc_id: int, nproc: int, out: str) -> None:
+    """Distill step on a (data=2, model=2) mesh whose MODEL axis crosses
+    the process boundary in the 2-process variant — the layout a 9B
+    bge-multilingual-gemma2 teacher needs on a v5e-8 pod slice
+    (/root/reference/distill.py:466-470,504-509)."""
+    import jax
+    import numpy as np
+    import optax
+    from jax.sharding import Mesh
+
+    from czechtriever_tpu.config import Config
+    from czechtriever_tpu.models import bert, gemma
+    from czechtriever_tpu.parallel import mesh as meshlib
+    from czechtriever_tpu.training import distill, optim, state as statelib
+
+    cfg = Config(queue_size=32, temperature=0.05, momentum=0.99, lr=1e-3,
+                 warmup_steps=0, total_steps=100, scheduler="linear",
+                 projection_size=32, clip_gradients=False,
+                 queue_dtype="float32", distill_weight=0.3)
+    mcfg = bert.BertConfig(vocab_size=211, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64,
+                           max_position_embeddings=64, dtype="float32",
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    tcfg = gemma.GemmaConfig.tiny(vocab_size=211)  # GQA 4q/2kv: TP=2 ok
+
+    # jax.devices() orders process 0's devices first, so a plain
+    # reshape(2, 2) would keep the model axis inside one process; the
+    # transpose pairs device i of process 0 with device i of process 1
+    # along MODEL — the cross-host TP layout under test.
+    devs = np.array(jax.devices()).reshape(2, 2).T
+    mesh = Mesh(devs, (meshlib.DATA_AXIS, meshlib.MODEL_AXIS))
+    if mode == "distill_explicit":
+        procs_per_tp_group = {d.process_index for d in devs[0]}
+        assert len(procs_per_tp_group) == 2, (
+            f"model axis does not span processes: {devs}")
+
+    tx = optim.make_optimizer(cfg)
+    st = statelib.create_distill_state(jax.random.key(0), cfg, mcfg, tcfg,
+                                       tx)
+    st = statelib.place_state(mesh, st, mcfg, tx, tcfg=tcfg)
+    # the teacher must actually be TP-sharded (not the replication
+    # fallback _teacher_specs warns about)
+    t_leaf = jax.tree.leaves(st.params_t)[0]
+    teacher_sharded = any(
+        any(ax is not None for ax in x.sharding.spec)
+        for x in jax.tree.leaves(st.params_t) if x.ndim >= 2)
+
+    step_fn = jax.jit(distill.make_distill_step(cfg, mcfg, tcfg, tx))
+    rng = jax.random.key(1)
+    data_rng = np.random.default_rng(0)
+    stats = None
+    for _ in range(3):
+        ids = data_rng.integers(5, 211, (2, 2, 8, 12)).astype(np.int32)
+        mask = np.ones((2, 8, 12), np.int32)
+        b = {"q_tokens": ids[0], "q_mask": mask,
+             "k_tokens": ids[1], "k_mask": mask}
+        b = meshlib.shard_microbatches(mesh, b)
+        st, stats = step_fn(st, b, rng)
+
+    result = {
+        "mode": mode, "proc_id": proc_id,
+        "process_count": meshlib.process_count(),
+        "teacher_sharded": bool(teacher_sharded),
+        "teacher_leaf_devices": len(t_leaf.sharding.device_set),
+        "loss": float(stats["loss"]),
+        "distill_loss": float(stats["distill_loss"]),
+        "accuracy": float(stats["accuracy"]),
+        "queue_ptr": int(np.asarray(st.queue_ptr)),
+        "param_norm": float(jax.jit(optax.global_norm)(st.params_q)),
+        "teacher_norm": float(jax.jit(optax.global_norm)(st.params_t)),
+    }
+    with open(os.path.join(out, f"proc{proc_id}.json"), "w") as f:
+        json.dump(result, f)
+
+
 def main() -> None:
     mode, proc_id, nproc, port, out = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
@@ -95,7 +173,7 @@ def main() -> None:
     from czechtriever_tpu.parallel import mesh as meshlib
     from czechtriever_tpu.training import optim, state as statelib, steps
 
-    if mode in ("explicit", "eval_explicit"):
+    if mode in ("explicit", "eval_explicit", "distill_explicit"):
         meshlib.init_distributed(coordinator_address=f"127.0.0.1:{port}",
                                  num_processes=nproc, process_id=proc_id)
     elif mode == "slurm":
@@ -103,6 +181,10 @@ def main() -> None:
 
     if mode.startswith("eval"):
         run_eval(mode, proc_id, nproc, out)
+        return
+    if mode.startswith("distill"):
+        assert len(jax.devices()) == 4, jax.devices()
+        run_distill(mode, proc_id, nproc, out)
         return
 
     assert len(jax.devices()) == 4, jax.devices()

@@ -112,6 +112,48 @@ class TestMultiProcess:
                 np.testing.assert_allclose(
                     r["metrics"][k], v, rtol=1e-6, err_msg=k)
 
+    def test_four_process_parity_with_single_process(self, tmp_path):
+        """4 processes x 1 device each — the one-process-per-chip layout
+        of a real pod slice — must reproduce the single-process 4-device
+        trainer scalars (VERDICT r2 next #4b)."""
+        single = _run_workers("single", 1, 0, str(tmp_path))[0]
+        multi = _run_workers("explicit", 4, _port(11), str(tmp_path))
+
+        assert [r["process_count"] for r in multi] == [4] * 4
+        assert [r["is_main"] for r in multi] == [True, False, False, False]
+        for r in multi:
+            assert r["n_devices"] == 4
+            assert r["queue_ptr"] == single["queue_ptr"]
+            np.testing.assert_allclose(r["loss"], single["loss"],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(r["param_norm"],
+                                       single["param_norm"], rtol=1e-5)
+            np.testing.assert_allclose(r["queue_norm"],
+                                       single["queue_norm"], rtol=1e-5)
+
+    def test_two_process_distill_tp_spanning_mesh(self, tmp_path):
+        """Distill step on a (data=2, model=2) mesh with the gemma
+        teacher TP-sharded over a model axis that CROSSES the process
+        boundary — the 9B bge-multilingual-gemma2 multi-host layout
+        (/root/reference/distill.py:466-470,504-509). Scalars must match
+        the single-process oracle on the same logical mesh."""
+        single = _run_workers("distill_single", 1, 0, str(tmp_path),
+                              timeout=420)[0]
+        multi = _run_workers("distill_explicit", 2, _port(13),
+                             str(tmp_path), timeout=420)
+
+        assert single["teacher_sharded"]
+        assert single["teacher_leaf_devices"] == 4
+        assert [r["process_count"] for r in multi] == [2, 2]
+        for r in multi:
+            assert r["teacher_sharded"]
+            assert r["teacher_leaf_devices"] == 4
+            assert r["queue_ptr"] == single["queue_ptr"]
+            for key in ("loss", "distill_loss", "accuracy", "param_norm",
+                        "teacher_norm"):
+                np.testing.assert_allclose(r[key], single[key], rtol=1e-4,
+                                           err_msg=key)
+
     def test_slurm_env_autodetect(self, tmp_path):
         """Workers get ONLY SLURM_* env vars (no coordinator args):
         parallel.mesh.init_distributed must trigger off SLURM_NTASKS and
