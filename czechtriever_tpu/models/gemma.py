@@ -197,23 +197,10 @@ def load_hf_dir(model_dir: str) -> Tuple[Params, GemmaConfig]:
     contract, /root/reference/src/utils.py:268-276)."""
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = GemmaConfig.from_hf_dict(json.load(f))
-    sd = {}
-    st_files = [f for f in os.listdir(model_dir)
-                if f.endswith(".safetensors")]
-    if st_files:
-        from safetensors.numpy import load_file
-        for f in sorted(st_files):
-            sd.update(load_file(os.path.join(model_dir, f)))
-    else:
-        import torch
-        bins = [f for f in os.listdir(model_dir)
-                if f.startswith("pytorch_model") and f.endswith(".bin")]
-        for f in sorted(bins):
-            sd.update(torch.load(os.path.join(model_dir, f),
-                                 map_location="cpu", weights_only=True))
-    if not sd:
-        raise FileNotFoundError(f"no weight files in {model_dir}")
-    return params_from_hf_state_dict(sd, cfg), cfg
+    # shard-aware, dtype-aware (a real bge-multilingual-gemma2 download
+    # is 4 bf16 safetensors shards + model.safetensors.index.json)
+    from czechtriever_tpu.models.hf_interop import load_hf_state_dict
+    return params_from_hf_state_dict(load_hf_state_dict(model_dir), cfg), cfg
 
 
 # ---------------------------------------------------------------------------

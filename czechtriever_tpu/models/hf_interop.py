@@ -56,7 +56,53 @@ def _to_numpy(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
     # torch tensor without importing torch at module scope
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    if hasattr(t, "detach"):
+        t = t.detach().cpu()
+        if str(t.dtype) == "torch.bfloat16":  # numpy has no bfloat16
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
+
+
+def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Load weights from a local HF checkpoint directory in any layout a
+    real download ships: single-file or sharded safetensors
+    (``model-0000X-of-0000N.safetensors`` + ``model.safetensors.index.json``)
+    or torch ``pytorch_model*.bin`` (+ index), any storage dtype
+    (fp32/fp16/bf16 — a real bge-multilingual-gemma2 is 4 bf16 shards,
+    Czert is fp32 single-file). Returns {name: numpy}, bf16 upcast to
+    f32 since numpy has no bfloat16. Local-first, never hits the hub
+    (reference contract /root/reference/src/utils.py:268-276)."""
+    files = None
+    for idx_name in ("model.safetensors.index.json",
+                     "pytorch_model.bin.index.json"):
+        idx_path = os.path.join(model_dir, idx_name)
+        if os.path.exists(idx_path):
+            with open(idx_path) as f:
+                files = sorted(set(json.load(f)["weight_map"].values()))
+            break
+    if files is None:
+        names = os.listdir(model_dir)
+        files = sorted(n for n in names if n.endswith(".safetensors"))
+        if not files:
+            files = sorted(n for n in names if n.startswith("pytorch_model")
+                           and n.endswith(".bin"))
+    if not files:
+        raise FileNotFoundError(f"no weight files in {model_dir}")
+
+    sd: Dict[str, np.ndarray] = {}
+    for name in files:
+        path = os.path.join(model_dir, name)
+        if name.endswith(".safetensors"):
+            # the torch loader handles every storage dtype incl. bf16
+            # (safetensors.numpy raises on bf16 tensors)
+            from safetensors.torch import load_file
+            shard = load_file(path)
+        else:
+            import torch
+            shard = torch.load(path, map_location="cpu", weights_only=True)
+        sd.update({k: _to_numpy(v) for k, v in shard.items()})
+    return sd
 
 
 def strip_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
@@ -134,17 +180,7 @@ def load_hf_dir(model_dir: str) -> Tuple[Params, BertConfig]:
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = BertConfig.from_hf_dict(json.load(f))
 
-    sd = None
-    st_path = os.path.join(model_dir, "model.safetensors")
-    bin_path = os.path.join(model_dir, "pytorch_model.bin")
-    if os.path.exists(st_path):
-        from safetensors.numpy import load_file
-        sd = load_file(st_path)
-    elif os.path.exists(bin_path):
-        import torch
-        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
-    else:
-        raise FileNotFoundError(f"no weights found in {model_dir}")
+    sd = load_hf_state_dict(model_dir)
     return params_from_state_dict(strip_prefix(sd), cfg), cfg
 
 

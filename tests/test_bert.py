@@ -227,3 +227,37 @@ class TestRematPolicies:
                                        rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestRealCheckpointLayouts:
+    """hf_interop.load_hf_dir against real download layouts (VERDICT r2
+    next #6): sharded safetensors + index json and fp16 storage — the
+    happy-path roundtrip above only covers single-file f32."""
+
+    def test_sharded_fp16_safetensors(self, tiny_pair, tmp_path):
+        import copy
+
+        hf_model, params, cfg = tiny_pair
+        d = tmp_path / "fp16_sharded"
+        copy.deepcopy(hf_model).half().save_pretrained(
+            d, max_shard_size="50KB")
+        shards = [f for f in d.iterdir() if f.suffix == ".safetensors"]
+        assert len(shards) >= 2, "checkpoint did not shard; shrink limit"
+        assert (d / "model.safetensors.index.json").exists()
+
+        params2, cfg2 = hf_interop.load_hf_dir(str(d))
+        assert cfg2.hidden_size == cfg.hidden_size
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2e-3)
+
+    def test_bf16_safetensors(self, tiny_pair, tmp_path):
+        import copy
+
+        hf_model, params, cfg = tiny_pair
+        d = tmp_path / "bf16"
+        copy.deepcopy(hf_model).to(torch.bfloat16).save_pretrained(d)
+        params2, _ = hf_interop.load_hf_dir(str(d))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2e-2)

@@ -125,3 +125,79 @@ class TestGemmaParity:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-6, atol=1e-6)
+
+
+class TestRealCheckpointLayouts:
+    """Interop rehearsal against the layouts a REAL teacher download
+    ships (VERDICT r2 next #6): a true bge-multilingual-gemma2 is 42
+    layers stored as multiple bf16 safetensors shards plus
+    model.safetensors.index.json — none of which the happy-path
+    single-file f32 roundtrip above exercises."""
+
+    @pytest.fixture(scope="class")
+    def deep_pair(self):
+        from transformers import Gemma2Config as HFConfig, Gemma2Model
+
+        hf_cfg = HFConfig(
+            vocab_size=128, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=42, num_attention_heads=2,
+            num_key_value_heads=1, head_dim=8,
+            max_position_embeddings=64, query_pre_attn_scalar=8.0,
+            attn_logit_softcapping=50.0, sliding_window=8,
+            attention_dropout=0.0, pad_token_id=0)
+        torch.manual_seed(1)
+        hf_model = Gemma2Model(hf_cfg).eval()
+        cfg = gemma.GemmaConfig.from_hf_dict(hf_cfg.to_dict())
+        cfg = gemma.GemmaConfig(**{**cfg.__dict__, "dtype": "float32"})
+        oracle = gemma.params_from_hf_state_dict(hf_model.state_dict(), cfg)
+        return hf_model, oracle, cfg
+
+    def _assert_matches(self, params, oracle, atol):
+        a, b = jax.tree.leaves(oracle), jax.tree.leaves(params)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=0, atol=atol)
+
+    def test_sharded_fp16_safetensors(self, deep_pair, tmp_path):
+        """42 layers, fp16 storage, >=2 safetensors shards + index json
+        (transformers' own sharding writer, so the layout is exactly
+        what a hub download produces)."""
+        import copy
+
+        hf_model, oracle, cfg = deep_pair
+        d = tmp_path / "fp16_sharded"
+        copy.deepcopy(hf_model).half().save_pretrained(
+            d, max_shard_size="100KB")
+        shards = [f for f in d.iterdir() if f.suffix == ".safetensors"]
+        assert len(shards) >= 2, "checkpoint did not shard; shrink limit"
+        assert (d / "model.safetensors.index.json").exists()
+
+        params, cfg2 = gemma.load_hf_dir(str(d))
+        assert cfg2.num_hidden_layers == 42
+        # fp16 has a 10-bit mantissa; init weights are ~N(0, 0.02)
+        self._assert_matches(params, oracle, atol=2e-4)
+
+    def test_bf16_safetensors(self, deep_pair, tmp_path):
+        """bf16 storage dtype (the real teacher's) — numpy cannot even
+        represent it, so the loader must route through torch."""
+        import copy
+
+        import torch as _torch
+
+        hf_model, oracle, cfg = deep_pair
+        d = tmp_path / "bf16"
+        copy.deepcopy(hf_model).to(_torch.bfloat16).save_pretrained(d)
+        params, _ = gemma.load_hf_dir(str(d))
+        self._assert_matches(params, oracle, atol=2e-3)  # 8-bit mantissa
+
+    def test_sharded_torch_bin(self, deep_pair, tmp_path):
+        """Legacy layout: pytorch_model-0000x-of-0000N.bin + index."""
+        hf_model, oracle, cfg = deep_pair
+        d = tmp_path / "bin_sharded"
+        hf_model.save_pretrained(d, max_shard_size="100KB",
+                                 safe_serialization=False)
+        bins = [f for f in d.iterdir() if f.suffix == ".bin"]
+        assert len(bins) >= 2
+        params, _ = gemma.load_hf_dir(str(d))
+        self._assert_matches(params, oracle, atol=0)
