@@ -101,7 +101,7 @@ def blocked_topk(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
 # ---------------------------------------------------------------------------
 
 def _topk_kernel(nv_ref, q_ref, c_ref, idx0_ref, out_v_ref, out_i_ref,
-                 run_v, run_i, *, block_size: int, k_pad: int):
+                 run_v, run_i, *, block_size: int, k_pad: int, precision):
     b = pl.program_id(1)
     n_b = pl.num_programs(1)
     Q = q_ref.shape[0]
@@ -111,13 +111,16 @@ def _topk_kernel(nv_ref, q_ref, c_ref, idx0_ref, out_v_ref, out_i_ref,
         run_v[:] = jnp.full((Q, k_pad), NEG_INF)
         run_i[:] = jnp.zeros((Q, k_pad), jnp.int32)
 
-    # Precision.HIGHEST: the MXU's default single-pass bf16 rounding
-    # perturbs scores in the 4th digit, which flips near-tied ranks vs
-    # the f32 XLA path; HIGHEST uses multi-pass f32-accurate matmul.
+    # f32 inputs: Precision.HIGHEST — the MXU's default single-pass bf16
+    # rounding perturbs scores in the 4th digit, which flips near-tied
+    # ranks vs the f32 XLA path; HIGHEST uses multi-pass f32-accurate
+    # matmul. bf16 inputs: DEFAULT — bf16xbf16 products into the f32
+    # accumulator are already exact, and Mosaic rejects mixed f32xbf16
+    # operands, so the bf16 corpus path feeds bf16 queries too.
     scores = jax.lax.dot_general(
         q_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
     # tile indices come from an *input* iota block: combining an in-kernel
     # tpu.iota with the index sorting network crashes Mosaic's layout
     # inference for >8 query rows (array.h Check failure).
@@ -159,7 +162,11 @@ def pallas_topk(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     n_blocks = corpus_p.shape[0] // block_size
 
     q_pad = (-Q) % q_tile
-    queries_p = queries.astype(jnp.float32)
+    # match query dtype to the corpus: a bf16 corpus (the HBM-capacity
+    # mode) gets bf16 queries + DEFAULT precision (exact on the MXU),
+    # an f32 corpus gets f32 queries + HIGHEST (see kernel comment)
+    q_dtype = jnp.bfloat16 if corpus.dtype == jnp.bfloat16 else jnp.float32
+    queries_p = queries.astype(q_dtype)
     if q_pad:
         queries_p = jnp.concatenate(
             [queries_p, jnp.zeros((q_pad, D), queries_p.dtype)], axis=0)
@@ -168,8 +175,10 @@ def pallas_topk(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
 
     if n_valid is None:
         n_valid = N
+    precision = (jax.lax.Precision.DEFAULT if q_dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
     kernel = functools.partial(_topk_kernel, block_size=block_size,
-                               k_pad=k_pad)
+                               k_pad=k_pad, precision=precision)
     v, i = pl.pallas_call(
         kernel,
         grid=(n_qtiles, n_blocks),
@@ -195,7 +204,7 @@ def pallas_topk(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * D * corpus_p.shape[0],
             bytes_accessed=n_qtiles * corpus_p.size * corpus_p.dtype.itemsize
-            + queries_p.size * 4,
+            + queries_p.size * queries_p.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
     )(jnp.asarray(n_valid, jnp.int32).reshape(1), queries_p, corpus_p,

@@ -71,6 +71,28 @@ class TestEngines:
         np.testing.assert_array_equal(np.asarray(i), ref_i)
 
     @pytest.mark.slow
+    def test_bf16_corpus_interpret(self):
+        """bf16 corpus (the HBM-capacity mode): the kernel must feed
+        bf16 queries too — Mosaic rejects mixed f32xbf16 dots on chip —
+        and top-1 must survive the quantization on clustered data."""
+        rng = np.random.default_rng(7)
+        c = rng.normal(size=(4096, 64)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = c[:8] + 0.05 * rng.normal(size=(8, 64)).astype(np.float32)
+        ref_v, ref_i = exact_ref(q, c, 10)
+        cb = jnp.array(c, dtype=jnp.bfloat16)
+        for v, i in (topk.pallas_topk(jnp.array(q), cb, 10,
+                                      block_size=512, interpret=True),
+                     topk.blocked_topk(jnp.array(q), cb, 10,
+                                       block_size=512)):
+            np.testing.assert_array_equal(np.asarray(i)[:, 0], ref_i[:, 0])
+            overlap = np.mean([len(set(np.asarray(i)[r]) & set(ref_i[r]))
+                               for r in range(len(q))]) / 10
+            assert overlap >= 0.9
+            np.testing.assert_allclose(np.asarray(v), ref_v,
+                                       rtol=0, atol=2e-2)
+
+    @pytest.mark.slow
     def test_n_valid_masks_tail(self):
         rng = np.random.default_rng(3)
         q = rng.normal(size=(4, 32)).astype(np.float32)
@@ -163,6 +185,23 @@ class TestOnChipTopK:
         np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-4,
                                    atol=1e-4)
         np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+    def test_pallas_compiled_bf16_corpus(self):
+        """bf16 corpus must compile on Mosaic (mixed f32xbf16 dot is
+        rejected — caught live in round 3) and rank correctly."""
+        rng = np.random.default_rng(2)
+        c = rng.normal(size=(100_000, 768)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = c[:16] + 0.05 * rng.normal(size=(16, 768)).astype(np.float32)
+        ref_v, ref_i = exact_ref(q, c, 100)
+        v, i = topk.pallas_topk(jnp.array(q),
+                                jnp.array(c, dtype=jnp.bfloat16), 100,
+                                block_size=1024)
+        np.testing.assert_array_equal(np.asarray(i)[:, 0], ref_i[:, 0])
+        overlap = np.mean([len(set(np.asarray(i)[r]) & set(ref_i[r]))
+                           for r in range(16)]) / 100
+        assert overlap >= 0.9
+        np.testing.assert_allclose(np.asarray(v), ref_v, rtol=0, atol=2e-2)
 
     def test_flat_index_on_chip(self):
         rng = np.random.default_rng(1)
