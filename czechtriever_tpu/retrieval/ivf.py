@@ -29,7 +29,17 @@ the scan to the probed fraction of the corpus; each query may see
 *extra* exactly-scored candidates from lists probed only by its
 batch-mates, so per-query recall is >= classical IVF at the same
 nprobe. The pruning pays off when the union is small: few queries per
-batch and/or nprobe << nlist (the serving operating point).
+batch and/or nprobe << nlist. Measured (docs/PERF.md round-3 sweep,
+1M x 768, m=96, nlist=1024, nprobe=8): 4.2x / 2.1x / 1.6x exhaustive
+PQ's QPS at Q=1/8/32 with equal-or-better recall@100.
+
+Engine choice guidance (measured, docs/PERF.md): use FlatIndex while
+the corpus fits HBM — it is exact AND faster than both PQ engines at
+1M rows; switch to PQ/IVF-PQ only beyond the flat HBM boundary
+(~4-5M rows f32, ~8M bf16 per 16 GB chip; 96 B/row PQ reaches ~150M),
+preferring IVF-PQ at small serving batches. Raising nprobe past ~8 is
+NOT the recall lever at m=96 — recall@100 is flat in nprobe while QPS
+falls; the quantization ceiling (m, n_bits) dominates.
 
 List probing selects by the L2-compatible score q.c - ||c||^2/2 (the
 coarse assignment is L2 k-means), while the returned scores use the
@@ -243,7 +253,7 @@ class IVFPQIndex:
 
         order = np.argsort(assign, kind="stable")
         start = 0
-        spilled_rows: List[np.ndarray] = []
+        spill_groups: List[Tuple[int, np.ndarray]] = []
         for li in range(self.nlist):
             n = int(sizes[li])
             rows = order[start:start + n]
@@ -253,29 +263,39 @@ class IVFPQIndex:
             home_map[li, :keep] = li
             fill[li] = keep
             if n > keep:
-                spilled_rows.append(rows[keep:])
+                spill_groups.append((li, rows[keep:]))
             start += n
 
-        if spilled_rows:
-            spill = np.concatenate(spilled_rows)
+        if spill_groups:
             # neighbor order by centroid-centroid L2 (a proxy for "lists
             # a query probing the home list would also probe")
             c = self.centroids
             d2 = (np.sum(c * c, axis=1)[:, None]
                   - 2.0 * (c @ c.T) + np.sum(c * c, axis=1)[None, :])
             neighbor_order = np.argsort(d2, axis=1)
-            for row in spill:
-                home = int(assign[row])
+            # spilled rows share their home's neighbor walk, so place a
+            # whole home-group at once, each candidate taking as many
+            # rows as it has space for — same placement as a per-row
+            # walk (rows fill nearest non-full candidates in order) but
+            # O(nlist * walk) python steps instead of O(rows * walk)
+            for home, rows_group in spill_groups:
+                pos = 0
                 for cand in neighbor_order[home]:
-                    if fill[cand] < C:
-                        slot = int(fill[cand])
-                        packed_codes[cand, slot] = codes[row]
-                        ids_map[cand, slot] = row
-                        home_map[cand, slot] = home
-                        fill[cand] += 1
+                    if pos >= len(rows_group):
                         break
-                else:  # pragma: no cover — impossible: nlist*C >= N
-                    raise RuntimeError("no spill capacity left")
+                    space = C - int(fill[cand])
+                    if space <= 0:
+                        continue
+                    take = min(space, len(rows_group) - pos)
+                    sel = rows_group[pos:pos + take]
+                    sl = slice(int(fill[cand]), int(fill[cand]) + take)
+                    packed_codes[cand, sl] = codes[sel]
+                    ids_map[cand, sl] = sel
+                    home_map[cand, sl] = home
+                    fill[cand] += take
+                    pos += take
+                if pos < len(rows_group):  # pragma: no cover — impossible:
+                    raise RuntimeError("no spill capacity left")  # nlist*C>=N
 
         self._packed = (jnp.asarray(packed_codes), jnp.asarray(ids_map),
                         jnp.asarray(home_map),
