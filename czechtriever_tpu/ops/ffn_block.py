@@ -54,6 +54,16 @@ _ROWS_TARGET = int(os.environ.get("CZT_FFN_GROUP_ROWS", "0"))
 # gelu from the saved pre) is unaffected.
 _FWD_F_CHUNKS = int(os.environ.get("CZT_FFN_FWD_CHUNKS", "4"))
 
+# Save `pre` as a residual (1) or recompute x@W1+b1 in the backward
+# kernel (0). The save costs [B, L, F] bf16 HBM each way PLUS the layer
+# scan's stacking-DUS copies (~7% of the full-256 step measured);
+# recompute costs one extra MXU matmul in the backward (~5% of the
+# bwd kernel bound). Recomputed pre is bitwise the saved value: tiling
+# the output (N) dim never changes a contraction's accumulation order,
+# and the bf16 cast matches the forward's store. Resolved at import so
+# fwd/bwd can never disagree on the residual tuple.
+_SAVE_PRE = int(os.environ.get("CZT_FFN_SAVE_PRE", "1"))
+
 _SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
 _C = 0.044715
 
@@ -104,8 +114,13 @@ def _gelu_grad(x, tanh_approx: bool):
 
 
 def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
-                lb_ref, y_ref, pre_ref, z_ref, ln_ref, *,
-                hidden_rate, eps, tanh_gelu, deterministic):
+                lb_ref, *out_refs, hidden_rate, eps, tanh_gelu,
+                deterministic, save_pre):
+    if save_pre:
+        y_ref, pre_ref, z_ref, ln_ref = out_refs
+    else:
+        y_ref, z_ref, ln_ref = out_refs
+        pre_ref = None
     b = pl.program_id(0)
     # the block holds G batch elements; every op here is row-local, so
     # flatten to one [G*L_pad, D] matrix (taller MXU matmuls)
@@ -120,7 +135,7 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
           if (_FWD_F_CHUNKS > 0 and F % _FWD_F_CHUNKS == 0
               and (F // _FWD_F_CHUNKS) % 128 == 0) else 1)
     C = F // nc
-    Gb = pre_ref.shape[0]
+    Gb = x_ref.shape[0]
     out = jnp.zeros((rows, D), jnp.float32)
     for c in range(nc):
         cols = slice(c * C, (c + 1) * C)
@@ -128,7 +143,8 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
                         preferred_element_type=jnp.float32)
         pre_c = pre_c + b1_ref[cols].astype(jnp.float32)[None, :]
         pre_b = pre_c.astype(x.dtype)
-        pre_ref[:, :, cols] = pre_b.reshape(Gb, -1, C)
+        if save_pre:
+            pre_ref[:, :, cols] = pre_b.reshape(Gb, -1, C)
         a = _gelu(pre_b.astype(jnp.float32), tanh_gelu).astype(x.dtype)
         out = out + jnp.dot(a, w2_ref[cols, :],
                             preferred_element_type=jnp.float32)
@@ -162,10 +178,16 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sc_ref,
             axis=0)
 
 
-def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
-                ln_ref, dy_ref, dx_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, dsc_ref, dlb_ref, *, hidden_rate, eps,
-                tanh_gelu, deterministic):
+def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, *refs,
+                hidden_rate, eps, tanh_gelu, deterministic, save_pre):
+    if save_pre:
+        (pre_ref, z_ref, ln_ref, dy_ref, dx_ref, dw1_ref, db1_ref,
+         dw2_ref, db2_ref, dsc_ref, dlb_ref) = refs
+        b1_ref = None
+    else:
+        (b1_ref, z_ref, ln_ref, dy_ref, dx_ref, dw1_ref, db1_ref,
+         dw2_ref, db2_ref, dsc_ref, dlb_ref) = refs
+        pre_ref = None
     b = pl.program_id(0)
     dt = x_ref.dtype
     D = x_ref.shape[-1]
@@ -209,7 +231,16 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
         dout = jnp.where(keep, dout * (1.0 / (1.0 - hidden_rate)), 0.0)
     dout_b = dout.astype(dt)
 
-    pre = pre_ref[...].reshape(-1, F).astype(jnp.float32)
+    x = x_ref[...].reshape(-1, D)
+    if save_pre:
+        pre = pre_ref[...].reshape(-1, F).astype(jnp.float32)
+    else:
+        # recompute x@W1+b1 and round through bf16 exactly as the
+        # forward stored it (N-dim tiling never changes accumulation
+        # order, so this is bitwise the saved residual)
+        pre = (jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+               + b1_ref[...].astype(jnp.float32)[None, :]
+               ).astype(dt).astype(jnp.float32)
     a = _gelu(pre, tanh_gelu).astype(dt)
     # dW2 = a^T @ dout (contract over L); db2
     dw2_ref[...] += jax.lax.dot_general(
@@ -220,7 +251,6 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, pre_ref, z_ref,
     da = jax.lax.dot_general(dout_b, w2_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dpre = (da * _gelu_grad(pre, tanh_gelu)).astype(dt)
-    x = x_ref[...].reshape(-1, D)
     dw1_ref[...] += jax.lax.dot_general(
         x, dpre, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -258,9 +288,23 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
 
     kern = functools.partial(_fwd_kernel, hidden_rate=hidden_rate,
                              eps=eps, tanh_gelu=tanh_gelu,
-                             deterministic=deterministic)
+                             deterministic=deterministic,
+                             save_pre=_SAVE_PRE)
     full = lambda b: (b, 0, 0)
-    y, pre, z, ln = pl.pallas_call(
+    out_specs = [pl.BlockSpec((G, L_pad, D), full)]
+    out_shape = [jax.ShapeDtypeStruct((B, L_pad, D), x.dtype)]
+    if _SAVE_PRE:
+        out_specs.append(pl.BlockSpec((G, L_pad, F), full))
+        out_shape.append(jax.ShapeDtypeStruct((B, L_pad, F), x.dtype))
+    out_specs += [
+        pl.BlockSpec((G, L_pad, D), full),
+        pl.BlockSpec((G, 2, L_lane), lambda b: (b, 0, 0)),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
+        jax.ShapeDtypeStruct((B, 2, L_lane), jnp.float32),
+    ]
+    outs = pl.pallas_call(
         kern,
         grid=(B // G,),
         in_specs=[
@@ -273,23 +317,17 @@ def _block_call(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
             pl.BlockSpec((D,), lambda b: (0,)),
             pl.BlockSpec((D,), lambda b: (0,)),
         ],
-        out_specs=[
-            pl.BlockSpec((G, L_pad, D), full),
-            pl.BlockSpec((G, L_pad, F), full),
-            pl.BlockSpec((G, L_pad, D), full),
-            pl.BlockSpec((G, 2, L_lane), lambda b: (b, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
-            jax.ShapeDtypeStruct((B, L_pad, F), x.dtype),
-            jax.ShapeDtypeStruct((B, L_pad, D), x.dtype),
-            jax.ShapeDtypeStruct((B, 2, L_lane), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), xp, w1, b1, w2, b2,
       scale, ln_bias)
+    if _SAVE_PRE:
+        y, pre, z, ln = outs
+    else:
+        (y, z, ln), pre = outs, None
     return y[:, :L], pre, z, ln
 
 
@@ -299,17 +337,18 @@ def _block_fwd(x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate,
         x, w1, b1, w2, b2, scale, ln_bias, seed, hidden_rate, eps,
         tanh_gelu, deterministic)
     from jax.ad_checkpoint import checkpoint_name
-    pre = checkpoint_name(pre, "flash_stats")
+    if pre is not None:
+        pre = checkpoint_name(pre, "flash_stats")
     z = checkpoint_name(z, "flash_stats")
     ln = checkpoint_name(ln, "flash_stats")
-    return y, (x, w1, w2, scale, seed, pre, z, ln)
+    return y, (x, w1, b1, w2, scale, seed, pre, z, ln)
 
 
 def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
-    x, w1, w2, scale, seed, pre, z, ln = res
+    x, w1, b1, w2, scale, seed, pre, z, ln = res
     B, L, D = x.shape
     F = w1.shape[1]
-    L_pad = pre.shape[1]
+    L_pad = z.shape[1]
     L_lane = ln.shape[-1]
     xp = _pad_l(x, L_pad, 1)
     dyp = _pad_l(dy, L_pad, 1)
@@ -319,11 +358,18 @@ def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
 
     kern = functools.partial(_bwd_kernel, hidden_rate=hidden_rate,
                              eps=eps, tanh_gelu=tanh_gelu,
-                             deterministic=deterministic)
+                             deterministic=deterministic,
+                             save_pre=_SAVE_PRE)
     # same grouping decision as the forward (pure function of shapes, so
     # the dropout-mask streams line up program-for-program)
     G = _pick_group(B, L_pad)
     full = lambda b: (b, 0, 0)
+    if _SAVE_PRE:
+        res_spec = pl.BlockSpec((G, L_pad, F), full)
+        res_arg = pre
+    else:
+        res_spec = pl.BlockSpec((F,), lambda b: (0,))
+        res_arg = b1
     dx, dw1, db1, dw2, db2, dsc, dlb = pl.pallas_call(
         kern,
         grid=(B // G,),
@@ -333,7 +379,7 @@ def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
             pl.BlockSpec((D, F), lambda b: (0, 0)),
             pl.BlockSpec((F, D), lambda b: (0, 0)),
             pl.BlockSpec((D,), lambda b: (0,)),
-            pl.BlockSpec((G, L_pad, F), full),
+            res_spec,
             pl.BlockSpec((G, L_pad, D), full),
             pl.BlockSpec((G, 2, L_lane), lambda b: (b, 0, 0)),
             pl.BlockSpec((G, L_pad, D), full),
@@ -360,7 +406,7 @@ def _block_bwd(hidden_rate, eps, tanh_gelu, deterministic, res, dy):
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=False,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), xp, w1, w2, scale,
-      pre, z, ln, dyp)
+      res_arg, z, ln, dyp)
     return (dx[:, :L], dw1.astype(w1.dtype), db1.astype(w1.dtype),
             dw2.astype(w2.dtype), db2.astype(w2.dtype),
             dsc.astype(scale.dtype), dlb.astype(scale.dtype),

@@ -112,7 +112,12 @@ class FlatIndex:
         self._chunks = [corpus]
         self._n = corpus.shape[0]
         ws = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
-        pad = (-self._n) % ws
+        # pad on the HOST to a block multiple per shard (4096 covers both
+        # engines' default block sizes): a device-side _pad_corpus
+        # concatenate would briefly hold TWO copies of the corpus in HBM,
+        # which OOMs exactly at the capacity boundary this index exists
+        # for (observed at 8M x 768 bf16 = 11.5 of 16 GB)
+        pad = (-self._n) % (ws * 4096)
         if pad:
             corpus = np.concatenate(
                 [corpus, np.zeros((pad, self.vector_sz), np.float32)], axis=0)

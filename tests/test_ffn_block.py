@@ -103,3 +103,23 @@ class TestOnChip:
         for a, b in zip(gb, gn):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-2, atol=3e-2)
+
+    def test_save_pre_modes_bitwise_equal(self, monkeypatch):
+        """CZT_FFN_SAVE_PRE=0 recomputes x@W1+b1 in the backward kernel;
+        the recompute rounds through bf16 exactly like the forward's
+        store (N-dim tiling never reorders a contraction), so grads must
+        be BITWISE equal to the save-the-residual mode."""
+        rng = np.random.default_rng(4)
+        args = make_inputs(rng, 2, 128, 128, 512)
+        argnums = tuple(range(7))
+
+        def loss_block(*a):
+            return (FB.ffn_block(*a, jnp.int32(0)).astype(jnp.float32)
+                    ** 2).sum()
+
+        monkeypatch.setattr(FB, "_SAVE_PRE", 1)
+        g_save = jax.jit(jax.grad(loss_block, argnums=argnums))(*args)
+        monkeypatch.setattr(FB, "_SAVE_PRE", 0)
+        g_rec = jax.jit(jax.grad(loss_block, argnums=argnums))(*args)
+        for a, b in zip(g_save, g_rec):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
