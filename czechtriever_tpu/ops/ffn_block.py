@@ -55,14 +55,16 @@ _ROWS_TARGET = int(os.environ.get("CZT_FFN_GROUP_ROWS", "0"))
 _FWD_F_CHUNKS = int(os.environ.get("CZT_FFN_FWD_CHUNKS", "4"))
 
 # Save `pre` as a residual (1) or recompute x@W1+b1 in the backward
-# kernel (0). The save costs [B, L, F] bf16 HBM each way PLUS the layer
-# scan's stacking-DUS copies (~7% of the full-256 step measured);
-# recompute costs one extra MXU matmul in the backward (~5% of the
-# bwd kernel bound). Recomputed pre is bitwise the saved value: tiling
-# the output (N) dim never changes a contraction's accumulation order,
-# and the bf16 cast matches the forward's store. Resolved at import so
+# kernel (0, default). The save costs [B, L, F] bf16 HBM each way PLUS
+# the layer scan's stacking-DUS copies; recompute costs one extra MXU
+# matmul in the backward. Measured A/B on chip (B=128 x accum 16):
+# full-256 3337.5 -> 3219.5 ms/step (613.6 -> 636.1 pairs/s, +3.7%),
+# recipe-136 944.6 -> 968.3 pairs/s (+2.5%). Recomputed pre is bitwise
+# the saved value: tiling the output (N) dim never changes a
+# contraction's accumulation order, and the bf16 cast matches the
+# forward's store (chip-gated bitwise test). Resolved at import so
 # fwd/bwd can never disagree on the residual tuple.
-_SAVE_PRE = int(os.environ.get("CZT_FFN_SAVE_PRE", "1"))
+_SAVE_PRE = int(os.environ.get("CZT_FFN_SAVE_PRE", "0"))
 
 _SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
 _C = 0.044715

@@ -121,10 +121,16 @@ class FlatIndex:
         if pad:
             corpus = np.concatenate(
                 [corpus, np.zeros((pad, self.vector_sz), np.float32)], axis=0)
-        arr = jnp.asarray(corpus, dtype=jnp.dtype(self.dtype))
+        # dtype conversion must happen on the HOST: jnp.asarray(f32,
+        # dtype=bf16) stages a second copy on device before converting,
+        # which OOMs at the capacity boundary (observed at 8M x 768:
+        # ResourceExhausted with only the 11.45 GB corpus live)
+        host = corpus.astype(jnp.dtype(self.dtype), copy=False)
         if self.mesh is not None:
             arr = jax.device_put(
-                arr, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+                host, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        else:
+            arr = jax.device_put(host)
         self._corpus = arr
 
     # -- search ------------------------------------------------------------
