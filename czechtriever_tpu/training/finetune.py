@@ -9,10 +9,13 @@ keys than queries). This module adds the eval from
 negatives, score every query against every gold (positives) and negative,
 and report accuracy (argmax == own gold) and MRR of the gold's rank.
 
-Cross-rank mechanics (varsize_gather of golds/negatives + label offset,
-finetuning.py:170-174) disappear: each host holds its rank-strided shard
-and metrics are weighted-averaged across hosts, which is the same number
-the reference computes.
+Cross-rank mechanics survive the port: the reference varsize-gathers
+golds and negatives across ranks and offsets each rank's labels
+(finetuning.py:170-174) so every query scores against the GLOBAL
+distractor set. Multi-process here does the same with
+``mesh.allgather_host_rows`` on the pooled embeddings, then
+weighted-averages the per-query accuracy/MRR across processes — every
+process returns the identical global metrics.
 """
 
 from __future__ import annotations
@@ -50,40 +53,76 @@ def evaluate_finetune(params: bert.Params, mcfg: bert.BertConfig, cfg,
     """Returns {"eval_acc": %, "mrr": float} (finetuning.py:176-189).
 
     ``batcher`` yields triplet collator batches (g_tokens/n_tokens rows
-    aligned with q rows; negatives may be empty).
+    aligned with q rows; negatives may be empty). Under multiple
+    processes each process encodes its rank-strided shard, golds and
+    negatives are allgathered so every query scores against the global
+    set (the reference's varsize_gather + label offset,
+    finetuning.py:170-174), and the metrics are weighted-averaged —
+    identical on every process.
     """
+    import jax as _jax
+
+    from czechtriever_tpu.parallel import mesh as meshlib
+
+    multiproc = _jax.process_count() > 1
     all_q, all_g, all_n = [], [], []
     for batch in batcher.epoch():
         all_q.append((batch["q_tokens"], batch["q_mask"]))
         all_g.append((batch["g_tokens"], batch["g_mask"]))
         if batch["n_tokens"].shape[0]:
             all_n.append((batch["n_tokens"], batch["n_mask"]))
-    if not all_q:
+    if not all_q and not multiproc:
         return {}
 
-    def cat(pairs):
+    def cat(pairs, dim_hint=4):
+        if not pairs:
+            return (np.zeros((0, dim_hint), np.int32),
+                    np.zeros((0, dim_hint), np.int32))
         return (np.concatenate([p[0] for p in pairs]),
                 np.concatenate([p[1] for p in pairs]))
 
-    q_ids, q_mask = cat(all_q)
-    g_ids, g_mask = cat(all_g)
-    q_emb = _encode_all(params, mcfg, q_ids, q_mask, batch_size,
-                        cfg.norm_query, cfg.pooling)
-    g_emb = _encode_all(params, mcfg, g_ids, g_mask, batch_size,
-                        cfg.norm_doc, cfg.pooling)
-    if all_n:
-        n_ids, n_mask = cat(all_n)
-        n_emb = _encode_all(params, mcfg, n_ids, n_mask, batch_size,
-                            cfg.norm_doc, cfg.pooling)
-        scores = np.concatenate([q_emb @ g_emb.T, q_emb @ n_emb.T], axis=1)
-    else:
-        scores = q_emb @ g_emb.T
+    def enc(pairs, normalize):
+        ids, mask = cat(pairs)
+        if ids.shape[0] == 0:
+            return np.zeros((0, mcfg.hidden_size), np.float32)
+        return _encode_all(params, mcfg, ids, mask, batch_size, normalize,
+                           cfg.pooling)
 
-    labels = np.arange(len(q_emb))
-    argmax_idx = scores.argmax(axis=1)
-    acc = 100.0 * float((argmax_idx == labels).mean())
-    # MRR of the gold's rank under descending sort (finetuning.py:177-183)
-    order = np.argsort(-scores, axis=1, kind="stable")
-    ranks = (order == labels[:, None]).argmax(axis=1)
-    mrr = float((1.0 / (ranks + 1.0)).mean())
-    return {"eval_acc": acc, "mrr": mrr, "n_queries": float(len(q_emb))}
+    q_emb = enc(all_q, cfg.norm_query)
+    g_emb = enc(all_g, cfg.norm_doc)
+    n_emb = enc(all_n, cfg.norm_doc)
+
+    if multiproc:
+        # global distractor set: [golds of all ranks; negs of all ranks];
+        # this rank's gold for query i sits at (rows before it) + i
+        g_parts = meshlib.allgather_host_rows(g_emb)
+        n_parts = meshlib.allgather_host_rows(n_emb)
+        me = _jax.process_index()
+        label_offset = sum(p.shape[0] for p in g_parts[:me])
+        g_all = np.concatenate(g_parts, axis=0)
+        n_all = np.concatenate(n_parts, axis=0)
+    else:
+        label_offset = 0
+        g_all, n_all = g_emb, n_emb
+
+    if q_emb.shape[0]:
+        scores = np.concatenate([q_emb @ g_all.T, q_emb @ n_all.T], axis=1)
+        labels = label_offset + np.arange(len(q_emb))
+        correct = float((scores.argmax(axis=1) == labels).sum())
+        # MRR of the gold's rank under descending sort
+        # (finetuning.py:177-183)
+        order = np.argsort(-scores, axis=1, kind="stable")
+        ranks = (order == labels[:, None]).argmax(axis=1)
+        rr_sum = float((1.0 / (ranks + 1.0)).sum())
+        n = float(len(q_emb))
+    else:
+        correct = rr_sum = n = 0.0
+
+    if multiproc:
+        sums = np.concatenate(meshlib.allgather_host_rows(
+            np.asarray([[correct, rr_sum, n]], np.float64)), axis=0)
+        correct, rr_sum, n = sums.sum(axis=0)
+    if n == 0:
+        return {}
+    return {"eval_acc": 100.0 * correct / n, "mrr": rr_sum / n,
+            "n_queries": float(n)}

@@ -26,6 +26,12 @@ Modes:
                    bge-multilingual-gemma2 layout the reference's
                    config-5 multi-host scenario needs
                    (/root/reference/distill.py:466-470,504-509);
+  * ``finetune_single`` / ``finetune_explicit`` — the supervised
+                   finetune path: 3 InBatch steps (differentiable key
+                   all-gather crossing the process boundary,
+                   src/inbatch.py:67-71) + evaluate_finetune on
+                   rank-strided eval shards (gold/negative allgather +
+                   label offset, /root/reference/finetuning.py:123-196);
   * 4 processes — plain ``explicit`` with nproc=4 (1 device each); the
                    test compares against the same single-process oracle.
 """
@@ -145,6 +151,85 @@ def run_distill(mode: str, proc_id: int, nproc: int, out: str) -> None:
         json.dump(result, f)
 
 
+def run_finetune(mode: str, proc_id: int, nproc: int, out: str) -> None:
+    """Supervised finetune across processes: InBatch train steps whose
+    differentiable key all-gather crosses the process boundary, then
+    evaluate_finetune where each process encodes a rank-strided eval
+    shard and golds/negatives are allgathered with label offsets
+    (/root/reference/finetuning.py:123-196). Scalars and global eval
+    metrics must match the single-process oracle."""
+    import jax
+    import numpy as np
+    import optax
+
+    from czechtriever_tpu.config import Config
+    from czechtriever_tpu.models import bert
+    from czechtriever_tpu.parallel import mesh as meshlib
+    from czechtriever_tpu.training import optim, state as statelib, steps
+    from czechtriever_tpu.training.finetune import evaluate_finetune
+
+    cfg = Config(temperature=0.05, lr=1e-3, warmup_steps=0,
+                 total_steps=100, scheduler="linear", clip_gradients=False,
+                 contrastive_mode="inbatch", norm_query=True,
+                 norm_doc=True)
+    mcfg = bert.BertConfig(vocab_size=211, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64,
+                           max_position_embeddings=64, dtype="float32",
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    mesh = meshlib.make_mesh()
+    tx = optim.make_optimizer(cfg)
+    st = statelib.create_inbatch_state(jax.random.key(0), cfg, mcfg, tx)
+    st = meshlib.replicate(mesh, st)
+    step_fn = jax.jit(steps.make_inbatch_step(cfg, mcfg, tx))
+    rng = jax.random.key(1)
+
+    # identical global triplet batches everywhere; keys = golds (the
+    # reference finetune objective is InBatch over the triplet collator)
+    data_rng = np.random.default_rng(0)
+    stats = None
+    for _ in range(3):
+        ids = data_rng.integers(5, 211, (2, 2, 8, 12)).astype(np.int32)
+        mask = np.ones((2, 8, 12), np.int32)
+        b = {"q_tokens": ids[0], "q_mask": mask,
+             "k_tokens": ids[1], "k_mask": mask}
+        b = meshlib.shard_microbatches(mesh, b)
+        st, stats = step_fn(st, b, rng)
+
+    # eval set: 8 (query, gold, 2 negatives) triplets; multi-process
+    # takes rank-strided shards, the oracle sees the whole set
+    eval_rng = np.random.default_rng(7)
+    Q, L = 8, 12
+    q_ids = eval_rng.integers(5, 211, (Q, L)).astype(np.int32)
+    g_ids = q_ids.copy()  # gold = same text: acc must be 100
+    n_ids = eval_rng.integers(5, 211, (2 * Q, L)).astype(np.int32)
+    rows = (slice(None) if mode == "finetune_single"
+            else slice(proc_id, None, nproc))
+    ones = lambda a: np.ones_like(a)
+
+    class _Batcher:
+        def epoch(self):
+            yield {"q_tokens": q_ids[rows], "q_mask": ones(q_ids[rows]),
+                   "g_tokens": g_ids[rows], "g_mask": ones(g_ids[rows]),
+                   "n_tokens": n_ids[rows], "n_mask": ones(n_ids[rows])}
+
+    params_host = jax.tree.map(np.asarray, st.params)
+    m = evaluate_finetune(params_host, mcfg, cfg, _Batcher(), batch_size=4)
+
+    result = {
+        "mode": mode, "proc_id": proc_id,
+        "process_count": meshlib.process_count(),
+        "loss": float(stats["loss"]),
+        "accuracy": float(stats["accuracy"]),
+        "param_norm": float(optax.global_norm(st.params)),
+        "eval_acc": float(m["eval_acc"]), "mrr": float(m["mrr"]),
+        "n_queries": float(m["n_queries"]),
+    }
+    with open(os.path.join(out, f"proc{proc_id}.json"), "w") as f:
+        json.dump(result, f)
+
+
 def main() -> None:
     mode, proc_id, nproc, port, out = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
@@ -173,7 +258,8 @@ def main() -> None:
     from czechtriever_tpu.parallel import mesh as meshlib
     from czechtriever_tpu.training import optim, state as statelib, steps
 
-    if mode in ("explicit", "eval_explicit", "distill_explicit"):
+    if mode in ("explicit", "eval_explicit", "distill_explicit",
+                "finetune_explicit"):
         meshlib.init_distributed(coordinator_address=f"127.0.0.1:{port}",
                                  num_processes=nproc, process_id=proc_id)
     elif mode == "slurm":
@@ -185,6 +271,10 @@ def main() -> None:
     if mode.startswith("distill"):
         assert len(jax.devices()) == 4, jax.devices()
         run_distill(mode, proc_id, nproc, out)
+        return
+    if mode.startswith("finetune"):
+        assert len(jax.devices()) == 4, jax.devices()
+        run_finetune(mode, proc_id, nproc, out)
         return
 
     assert len(jax.devices()) == 4, jax.devices()

@@ -154,6 +154,27 @@ class TestMultiProcess:
                 np.testing.assert_allclose(r[key], single[key], rtol=1e-4,
                                            err_msg=key)
 
+    def test_two_process_finetune_parity(self, tmp_path):
+        """Supervised finetune across 2 processes: InBatch train steps
+        (differentiable key all-gather over the process boundary,
+        reference src/inbatch.py:67-71) and evaluate_finetune with
+        rank-strided eval shards (gold/negative allgather + label
+        offsets, reference finetuning.py:123-196) must reproduce the
+        single-process scalars and global eval metrics."""
+        single = _run_workers("finetune_single", 1, 0, str(tmp_path))[0]
+        multi = _run_workers("finetune_explicit", 2, _port(17),
+                             str(tmp_path))
+
+        assert single["eval_acc"] == 100.0  # gold == query text
+        assert single["n_queries"] == 8.0
+        assert [r["process_count"] for r in multi] == [2, 2]
+        for r in multi:
+            assert r["n_queries"] == single["n_queries"]
+            for key in ("loss", "accuracy", "param_norm", "eval_acc",
+                        "mrr"):
+                np.testing.assert_allclose(r[key], single[key], rtol=1e-5,
+                                           err_msg=key)
+
     def test_slurm_env_autodetect(self, tmp_path):
         """Workers get ONLY SLURM_* env vars (no coordinator args):
         parallel.mesh.init_distributed must trigger off SLURM_NTASKS and
