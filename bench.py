@@ -64,7 +64,7 @@ def model_flops_per_pair(mcfg, seq: int, queue_size: int,
 def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           attention_impl: str = "auto", hidden_act: str = "gelu_tanh",
           unroll: int = 1, ema_every_step: bool = False,
-          ffn_impl: str = "xla"):
+          ffn_impl: str = "xla", scan_layers: bool = True):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config, enable_compilation_cache
@@ -81,7 +81,7 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
                            max_position_embeddings=512, dtype="bfloat16",
                            attention_impl=attention_impl,
                            hidden_act=hidden_act, scan_unroll=unroll,
-                           ffn_impl=ffn_impl)
+                           ffn_impl=ffn_impl, scan_layers=scan_layers)
     remat_arg = {"none": False, "full": True, "dots": "dots"}.get(
         remat, remat)
     cfg = Config(queue_size=queue_size, temperature=0.05, momentum=0.9995,
@@ -107,11 +107,12 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
 def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         remat, attention_impl: str = "auto",
         hidden_act: str = "gelu_tanh", unroll: int = 1,
-        ema_every_step: bool = False, ffn_impl: str = "xla"):
+        ema_every_step: bool = False, ffn_impl: str = "xla",
+        scan_layers: bool = True):
     import jax
     step_fn, st, b, cfg = build(batch, accum, seq, queue_size, remat,
                                 attention_impl, hidden_act, unroll,
-                                ema_every_step, ffn_impl)
+                                ema_every_step, ffn_impl, scan_layers)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
@@ -167,6 +168,11 @@ def main():
     p.add_argument("--gelu", default="gelu_tanh",
                    choices=("gelu", "gelu_tanh"))
     p.add_argument("--unroll", type=int, default=1)
+    p.add_argument("--layer_loop", default="scan",
+                   choices=("scan", "python"))
+    # python: plain loop over layers — per-layer saved activations stay
+    # standalone buffers instead of scan-stacked via DUS (A/B lever for
+    # the ~300 ms/step stacking-save cost in the round-5 roofline)
     p.add_argument("--ema_every_step", action="store_true")
     p.add_argument("--ffn", default="fused", choices=("xla", "fused"))
     # fused FFN block (ops/ffn_block.py): 526.3 vs 501.4 pairs/s with
@@ -184,7 +190,8 @@ def main():
                                         args.queue_size, args.steps, remat,
                                         args.attention, args.gelu,
                                         args.unroll, args.ema_every_step,
-                                        args.ffn)
+                                        args.ffn,
+                                        args.layer_loop == "scan")
                 break
             except Exception as e:
                 oom = ("RESOURCE_EXHAUSTED" in str(e)

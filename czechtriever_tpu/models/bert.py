@@ -70,6 +70,12 @@ class BertConfig:
     # exposes static per-layer indices so XLA can keep the stacked
     # weight-gradient updates in place instead of copying the buffer
     scan_unroll: int = 1
+    # False: plain Python loop over layers instead of lax.scan. The
+    # scan stacks every saved activation (x/ctx/z and the q/k/v dot
+    # outputs) into [L, ...] buffers via dynamic-update-slice; the loop
+    # keeps each layer's residuals as standalone buffers with no
+    # stacking copies, at the cost of depth-proportional compile time
+    scan_layers: bool = True
     # "fused": fused FFN block kernel (ops/ffn_block.py — matmul, gelu,
     # matmul, dropout, residual, LN in one program; only used together
     # with attention_impl="flash_block"); "xla" (default)
@@ -392,6 +398,15 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
                     "flash_stats")))
     elif remat:
         body = jax.checkpoint(body)
+
+    if not cfg.scan_layers:
+        # Python loop: per-layer residuals stay standalone buffers (no
+        # scan stacking DUS); numerics identical to the scan — same
+        # per-layer rng fold_in, same kernels, static layer indices
+        for i in range(cfg.num_hidden_layers):
+            lp = jax.tree.map(lambda a: a[i], params["layers"])
+            x, _ = body(x, (lp, jnp.int32(i)))
+        return x
 
     layer_idx = jnp.arange(cfg.num_hidden_layers)
     x, _ = jax.lax.scan(body, x, (params["layers"], layer_idx),

@@ -133,6 +133,44 @@ class TestForwardProperties:
         assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
         assert np.abs(np.asarray(a) - np.asarray(det)).max() > 1e-6
 
+    def test_python_layer_loop_matches_scan(self, tiny_pair):
+        """scan_layers=False (plain loop, no scan-stacked residuals)
+        must be numerically identical to the scan, including the
+        per-layer dropout rng fold_in and gradients."""
+        _, params, cfg = tiny_pair
+        cfg_loop = bert.BertConfig(**{**cfg.__dict__,
+                                      "scan_layers": False})
+        ids, mask = _random_batch(np.random.default_rng(5), cfg.vocab_size)
+        a = bert.forward(params, cfg, jnp.array(ids), jnp.array(mask))
+        b = bert.forward(params, cfg_loop, jnp.array(ids), jnp.array(mask))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+        # dropout path: same rng -> same mask sequence in both modes
+        cfg_d = bert.BertConfig(**{**cfg.__dict__,
+                                   "hidden_dropout_prob": 0.5})
+        cfg_ld = bert.BertConfig(**{**cfg_d.__dict__, "scan_layers": False})
+        r = jax.random.key(3)
+        da = bert.forward(params, cfg_d, jnp.array(ids), jnp.array(mask),
+                          dropout_rng=r, deterministic=False)
+        db = bert.forward(params, cfg_ld, jnp.array(ids), jnp.array(mask),
+                          dropout_rng=r, deterministic=False)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss(p, c):
+            return bert.forward(p, c, jnp.array(ids),
+                                jnp.array(mask)).sum()
+
+        ga = jax.grad(lambda p: loss(p, cfg))(params)
+        gb = jax.grad(lambda p: loss(p, cfg_loop))(params)
+        for ka, (la, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(ga),
+                zip(jax.tree.leaves(ga), jax.tree.leaves(gb))):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=str(ka[0]))
+
     def test_random_init_runs(self):
         cfg = bert.BertConfig.tiny()
         params = bert.init_params(jax.random.key(0), cfg)

@@ -14,12 +14,15 @@ import json
 import os
 import sys
 
+import jax
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
 @pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="needs the real chip (a CPU run takes ~1h)")
 class TestTrainingLiftsNdcg:
     def test_trained_beats_untrained_ndcg(self, tmp_path):
         from train_ndcg_curve import run
