@@ -168,11 +168,14 @@ def main():
     p.add_argument("--gelu", default="gelu_tanh",
                    choices=("gelu", "gelu_tanh"))
     p.add_argument("--unroll", type=int, default=1)
-    p.add_argument("--layer_loop", default="scan",
+    p.add_argument("--layer_loop", default="python",
                    choices=("scan", "python"))
-    # python: plain loop over layers — per-layer saved activations stay
-    # standalone buffers instead of scan-stacked via DUS (A/B lever for
-    # the ~300 ms/step stacking-save cost in the round-5 roofline)
+    # python (default): plain loop over layers — per-layer saved
+    # activations stay standalone buffers instead of scan-stacked via
+    # DUS (the ~300 ms/step stacking-save cost in the round-5
+    # roofline). Measured full-256 636.8 -> 696.5 pairs/s (+9.4%),
+    # recipe 968.3 -> 1032.8 (+6.7%); --layer_loop scan for the O(1)
+    # compile-time form
     p.add_argument("--ema_every_step", action="store_true")
     p.add_argument("--ffn", default="fused", choices=("xla", "fused"))
     # fused FFN block (ops/ffn_block.py): 526.3 vs 501.4 pairs/s with

@@ -47,7 +47,8 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
                                   "hidden_dropout_prob": cfg.dropout,
                                   "attention_probs_dropout_prob": cfg.dropout,
                                   "attention_impl": cfg.attention_impl,
-                                  "ffn_impl": cfg.ffn_impl})
+                                  "ffn_impl": cfg.ffn_impl,
+                                  "scan_layers": cfg.scan_layers})
         try:
             tokenizer = load_tokenizer(model_dir)
         except Exception:
@@ -72,7 +73,8 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
                                   "hidden_dropout_prob": cfg.dropout,
                                   "attention_probs_dropout_prob": cfg.dropout,
                                   "attention_impl": cfg.attention_impl,
-                                  "ffn_impl": cfg.ffn_impl})
+                                  "ffn_impl": cfg.ffn_impl,
+                                  "scan_layers": cfg.scan_layers})
         return None, mcfg, None
 
     logger.warning("model id %r not found locally; using random-init "
@@ -80,7 +82,8 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
     mcfg = bert.BertConfig(dtype=dtype, hidden_dropout_prob=cfg.dropout,
                            attention_probs_dropout_prob=cfg.dropout,
                            attention_impl=cfg.attention_impl,
-                           ffn_impl=cfg.ffn_impl)
+                           ffn_impl=cfg.ffn_impl,
+                           scan_layers=cfg.scan_layers)
     return None, mcfg, None
 
 
