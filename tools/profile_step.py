@@ -110,6 +110,8 @@ def main() -> None:
     ap.add_argument("--attention", default="flash_block")
     ap.add_argument("--gelu", default="gelu_tanh")
     ap.add_argument("--ffn", default="fused")
+    ap.add_argument("--layer_loop", default="python",
+                    choices=("scan", "python"))
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--logdir", default=None)
@@ -123,7 +125,8 @@ def main() -> None:
     logdir = args.logdir or tempfile.mkdtemp(prefix="czt_profile_")
     step_fn, st, b, cfg = bench.build(
         args.batch, args.accum, args.seq, args.queue_size, args.remat,
-        args.attention, args.gelu, ffn_impl=args.ffn)
+        args.attention, args.gelu, ffn_impl=args.ffn,
+        scan_layers=args.layer_loop == "scan")
     rng = jax.random.key(1, impl=cfg.prng_impl)
     for _ in range(3):  # compile + warmup
         st, stats = step_fn(st, b, rng)
