@@ -103,8 +103,17 @@ class DenseEncoder:
             mesh = meshlib.local_mesh()
         self.mesh = mesh
         self.bucket = bucket
+        if self.multiprocess:
+            # the training eval hook passes the trainer's GLOBAL-mesh
+            # device params (replicated, or TP-sharded across hosts);
+            # pull those to host before re-placing on the local mesh —
+            # device_put of a global-mesh array onto local devices is a
+            # cross-host transfer JAX rejects
+            self.params = meshlib.host_safe(self.params)
+            if self.doc_params is not None:
+                self.doc_params = meshlib.host_safe(self.doc_params)
         if mesh is not None:
-            self.params = meshlib.replicate(mesh, params)
+            self.params = meshlib.replicate(mesh, self.params)
 
     def _encode_texts(self, texts, batch_size: int, normalize: bool,
                       use_doc_encoder: bool = False) -> np.ndarray:

@@ -102,6 +102,29 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def host_safe(tree):
+    """Make a pytree of (possibly global-mesh) arrays usable from
+    per-process host code — the eval paths encode rank-split text shards
+    on a LOCAL mesh, and ``jax.device_put`` of a global-mesh array onto
+    local devices is a cross-host transfer JAX rejects.
+
+    Host leaves and fully-addressable device leaves pass through
+    untouched (no copy); fully-replicated global leaves fetch their
+    local shard (``np.asarray`` is legal there); process-spanning
+    sharded leaves (a TP-sharded encoder over a multi-host ``model``
+    axis) are gathered with ``multihost_utils.process_allgather``."""
+    def pull(x):
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            return x
+        if x.is_fully_replicated:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+        # tiled=True: the global array's shards re-assemble in place
+        # (stacking is for host-local per-process values)
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return jax.tree.map(pull, tree)
+
+
 # --- process helpers (reference is_main/rank/world_size,
 #     src/dist_utils.py:77-102) ---------------------------------------------
 

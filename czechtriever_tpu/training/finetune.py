@@ -65,6 +65,12 @@ def evaluate_finetune(params: bert.Params, mcfg: bert.BertConfig, cfg,
     from czechtriever_tpu.parallel import mesh as meshlib
 
     multiproc = _jax.process_count() > 1
+    if multiproc:
+        # the finetune eval hook passes the trainer's GLOBAL-mesh device
+        # params; each process encodes per-rank host batches locally, so
+        # pull global arrays to host first (replicated: local fetch;
+        # TP-sharded: process_allgather) — see mesh.host_safe
+        params = meshlib.host_safe(params)
     all_q, all_g, all_n = [], [], []
     for batch in batcher.epoch():
         all_q.append((batch["q_tokens"], batch["q_mask"]))

@@ -48,6 +48,7 @@ def run_eval(mode: str, proc_id: int, nproc: int, out: str) -> None:
     assert both cross-process agreement and parity with the
     single-process oracle."""
     import jax
+    import numpy as np
 
     from czechtriever_tpu.data.tokenizer import WordPieceTokenizer
     from czechtriever_tpu.evaluation import beir as beir_eval
@@ -60,15 +61,41 @@ def run_eval(mode: str, proc_id: int, nproc: int, out: str) -> None:
     mcfg = bert.BertConfig.tiny(vocab_size=len(vocab))
     params = bert.init_params(jax.random.key(0), mcfg)
     mesh = meshlib.make_mesh()
+    # place the params on the GLOBAL mesh as device arrays — what the
+    # cli/train.py eval hook passes (trainer.encoder_params); the
+    # evaluator must pull them to host (mesh.host_safe) before its
+    # local-mesh re-placement, or device_put raises a cross-host error
+    params = meshlib.replicate(mesh, params)
     res = beir_eval.evaluate_model(
         params, mcfg, tok, "toy", beir_dir=os.path.join(out, "beir"),
         norm_query=True, norm_doc=True, k_values=(1, 3, 5), mesh=mesh,
         is_main=True, batch_size=4)
+    res_tp = res
+    if mode == "eval_explicit":
+        # TP-sharded params whose model axis CROSSES the process
+        # boundary (the 9B-teacher layout): host_safe must gather them
+        # with process_allgather — np.asarray alone raises
+        # NotImplementedError on non-fully-addressable sharded arrays
+        from jax.sharding import Mesh, NamedSharding
+
+        devs = np.array(jax.devices()).reshape(2, 2).T
+        tp_mesh = Mesh(devs, (meshlib.DATA_AXIS, meshlib.MODEL_AXIS))
+        assert len({d.process_index for d in devs[0]}) == 2
+        specs = bert.partition_specs(mcfg)
+        params_tp = jax.tree.map(
+            lambda p, s: jax.device_put(p, NamedSharding(tp_mesh, s)),
+            jax.tree.map(np.asarray, params), specs)
+        res_tp = beir_eval.evaluate_model(
+            params_tp, mcfg, tok, "toy", beir_dir=os.path.join(out, "beir"),
+            norm_query=True, norm_doc=True, k_values=(1, 3, 5), mesh=tp_mesh,
+            is_main=True, batch_size=4)
+
     result = {
         "mode": mode, "proc_id": proc_id,
         "process_count": meshlib.process_count(),
         "is_main": meshlib.is_main(),
         "metrics": res,
+        "metrics_tp": res_tp,
     }
     with open(os.path.join(out, f"proc{proc_id}.json"), "w") as f:
         json.dump(result, f)
@@ -214,8 +241,10 @@ def run_finetune(mode: str, proc_id: int, nproc: int, out: str) -> None:
                    "g_tokens": g_ids[rows], "g_mask": ones(g_ids[rows]),
                    "n_tokens": n_ids[rows], "n_mask": ones(n_ids[rows])}
 
-    params_host = jax.tree.map(np.asarray, st.params)
-    m = evaluate_finetune(params_host, mcfg, cfg, _Batcher(), batch_size=4)
+    # pass the trainer's GLOBAL-mesh device params, exactly what the
+    # cli/finetune.py eval hook does — evaluate_finetune must pull them
+    # to host itself (mesh.host_safe) before per-rank local encoding
+    m = evaluate_finetune(st.params, mcfg, cfg, _Batcher(), batch_size=4)
 
     result = {
         "mode": mode, "proc_id": proc_id,

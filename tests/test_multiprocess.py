@@ -111,6 +111,11 @@ class TestMultiProcess:
             for k, v in single["metrics"].items():
                 np.testing.assert_allclose(
                     r["metrics"][k], v, rtol=1e-6, err_msg=k)
+            # same metrics when the hook hands over TP-sharded
+            # process-spanning device params (host_safe gather path)
+            for k, v in single["metrics"].items():
+                np.testing.assert_allclose(
+                    r["metrics_tp"][k], v, rtol=1e-6, err_msg=f"tp:{k}")
 
     def test_four_process_parity_with_single_process(self, tmp_path):
         """4 processes x 1 device each — the one-process-per-chip layout
