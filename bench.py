@@ -233,7 +233,11 @@ def main():
                 "mfu_pct": round(100 * mfu, 1), "seq": seq}
 
     shapes = {"recipe": 136, "full": 256}
-    if args.seq is not None and args.workload != "both":
+    if args.seq is not None:
+        if args.workload == "both":
+            # silently measuring the default shapes under a custom --seq
+            # would mislabel the run; require an explicit workload
+            p.error("--seq requires an explicit --workload (recipe|full)")
         shapes[args.workload] = args.seq
     want = ("recipe", "full") if args.workload == "both" \
         else (args.workload,)

@@ -54,6 +54,8 @@ _LAYER_MAP = {
 
 def _to_numpy(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
+        if t.dtype.name == "bfloat16":  # ml_dtypes, from the no-torch reader
+            return t.astype(np.float32)
         return t
     # torch tensor without importing torch at module scope
     if hasattr(t, "detach"):
@@ -62,6 +64,35 @@ def _to_numpy(t) -> np.ndarray:
             t = t.float()
         return t.numpy()
     return np.asarray(t)
+
+
+def _load_safetensors_no_torch(path: str) -> Dict[str, np.ndarray]:
+    """Torch-free safetensors reader (jax-only deployment envs).
+
+    The format is an 8-byte LE header length, a JSON header of
+    {name: {dtype, shape, data_offsets}}, then raw little-endian tensor
+    bytes. bf16 decodes via ml_dtypes (which jax ships); fp16/fp32 map
+    straight to numpy. Upcasting to f32 is left to ``_to_numpy`` so the
+    two loaders return identical dtypes."""
+    import ml_dtypes
+    dtypes = {"F64": np.float64, "F32": np.float32, "F16": np.float16,
+              "BF16": ml_dtypes.bfloat16, "I64": np.int64,
+              "I32": np.int32, "I16": np.int16, "I8": np.int8,
+              "U8": np.uint8, "BOOL": np.bool_}
+    with open(path, "rb") as f:
+        hlen = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(hlen))
+        data = f.read()
+    out: Dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = meta["data_offsets"]
+        arr = np.frombuffer(data, dtype=dtypes[meta["dtype"]],
+                            count=int(np.prod(meta["shape"], dtype=np.int64)),
+                            offset=start)
+        out[name] = arr.reshape(meta["shape"])
+    return out
 
 
 def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
@@ -94,10 +125,14 @@ def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
     for name in files:
         path = os.path.join(model_dir, name)
         if name.endswith(".safetensors"):
-            # the torch loader handles every storage dtype incl. bf16
-            # (safetensors.numpy raises on bf16 tensors)
-            from safetensors.torch import load_file
-            shard = load_file(path)
+            try:
+                # the torch loader handles every storage dtype incl.
+                # bf16 (safetensors.numpy raises on bf16 tensors)
+                from safetensors.torch import load_file
+                shard = load_file(path)
+            except ImportError:
+                # torch-free deployment envs: read the format directly
+                shard = _load_safetensors_no_torch(path)
         else:
             import torch
             shard = torch.load(path, map_location="cpu", weights_only=True)

@@ -299,3 +299,28 @@ class TestRealCheckpointLayouts:
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=0, atol=2e-2)
+
+    def test_no_torch_safetensors_reader_matches_torch(self, tmp_path):
+        """The torch-free reader (jax-only deployment envs) must decode
+        f32/f16/bf16 tensors bitwise-identically to safetensors.torch."""
+        from safetensors.torch import load_file, save_file
+
+        g = torch.Generator().manual_seed(0)
+        tensors = {
+            "w32": torch.randn(7, 5, generator=g),
+            "w16": torch.randn(3, 11, generator=g).half(),
+            "wbf": torch.randn(4, 6, generator=g).to(torch.bfloat16),
+            "ids": torch.arange(12, dtype=torch.int64).reshape(3, 4),
+        }
+        path = str(tmp_path / "mixed.safetensors")
+        save_file(tensors, path)
+
+        via_torch = {k: hf_interop._to_numpy(v)
+                     for k, v in load_file(path).items()}
+        no_torch = {k: hf_interop._to_numpy(v) for k, v in
+                    hf_interop._load_safetensors_no_torch(path).items()}
+        assert via_torch.keys() == no_torch.keys()
+        for k in via_torch:
+            assert via_torch[k].dtype == no_torch[k].dtype, k
+            np.testing.assert_array_equal(via_torch[k], no_torch[k],
+                                          err_msg=k)
