@@ -114,6 +114,11 @@ class DenseEncoder:
                 self.doc_params = meshlib.host_safe(self.doc_params)
         if mesh is not None:
             self.params = meshlib.replicate(mesh, self.params)
+            if self.doc_params is not None:
+                # mirror the query-encoder placement: without it the
+                # separate-doc-encoder (distill) path re-transfers the
+                # full doc encoder host->device on every encode call
+                self.doc_params = meshlib.replicate(mesh, self.doc_params)
 
     def _encode_texts(self, texts, batch_size: int, normalize: bool,
                       use_doc_encoder: bool = False) -> np.ndarray:

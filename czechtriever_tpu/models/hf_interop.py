@@ -73,25 +73,43 @@ def _load_safetensors_no_torch(path: str) -> Dict[str, np.ndarray]:
     {name: {dtype, shape, data_offsets}}, then raw little-endian tensor
     bytes. bf16 decodes via ml_dtypes (which jax ships); fp16/fp32 map
     straight to numpy. Upcasting to f32 is left to ``_to_numpy`` so the
-    two loaders return identical dtypes."""
+    two loaders return identical dtypes.
+
+    The data section is memory-mapped, not read into RAM: multi-GB
+    shards (the 4-shard bf16 gemma2 case) would otherwise double peak
+    host memory vs the mmap-based safetensors loader. Returned arrays
+    are read-only views into the map; every downstream consumer
+    upcasts/copies before mutation."""
     import ml_dtypes
     dtypes = {"F64": np.float64, "F32": np.float32, "F16": np.float16,
               "BF16": ml_dtypes.bfloat16, "I64": np.int64,
               "I32": np.int32, "I16": np.int16, "I8": np.int8,
-              "U8": np.uint8, "BOOL": np.bool_}
+              "U8": np.uint8, "U16": np.uint16, "U32": np.uint32,
+              "U64": np.uint64,
+              "F8_E4M3": getattr(ml_dtypes, "float8_e4m3fn", None),
+              "F8_E5M2": getattr(ml_dtypes, "float8_e5m2", None),
+              "BOOL": np.bool_}
     with open(path, "rb") as f:
         hlen = int.from_bytes(f.read(8), "little")
         header = json.loads(f.read(hlen))
-        data = f.read()
+    data = np.memmap(path, dtype=np.uint8, mode="r", offset=8 + hlen)
     out: Dict[str, np.ndarray] = {}
     for name, meta in header.items():
         if name == "__metadata__":
             continue
+        dt = dtypes.get(meta["dtype"])
+        if dt is None:
+            raise ValueError(f"unsupported safetensors dtype "
+                             f"{meta['dtype']!r} for tensor {name!r}")
+        dt = np.dtype(dt)
         start, end = meta["data_offsets"]
-        arr = np.frombuffer(data, dtype=dtypes[meta["dtype"]],
-                            count=int(np.prod(meta["shape"], dtype=np.int64)),
-                            offset=start)
-        out[name] = arr.reshape(meta["shape"])
+        count = int(np.prod(meta["shape"], dtype=np.int64))
+        if end - start != count * dt.itemsize:
+            raise ValueError(
+                f"corrupt safetensors header: tensor {name!r} spans "
+                f"{end - start} bytes but shape {meta['shape']} x "
+                f"{meta['dtype']} needs {count * dt.itemsize}")
+        out[name] = data[start:end].view(dt).reshape(meta["shape"])
     return out
 
 
