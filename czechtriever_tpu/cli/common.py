@@ -38,6 +38,7 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
     """-> (params or None if random init requested, model config,
     tokenizer or None)."""
     dtype = dtype or cfg.dtype
+    from czechtriever_tpu.config import resolve_scan_layers
     model_dir = resolve_model_dir(cfg.retriever_model_id)
     tokenizer = None
     if model_dir is not None:
@@ -48,7 +49,9 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
                                   "attention_probs_dropout_prob": cfg.dropout,
                                   "attention_impl": cfg.attention_impl,
                                   "ffn_impl": cfg.ffn_impl,
-                                  "scan_layers": cfg.scan_layers})
+                                  "scan_layers": resolve_scan_layers(
+                                      cfg.scan_layers,
+                                      mcfg.num_hidden_layers)})
         try:
             tokenizer = load_tokenizer(model_dir)
         except Exception:
@@ -74,16 +77,20 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
                                   "attention_probs_dropout_prob": cfg.dropout,
                                   "attention_impl": cfg.attention_impl,
                                   "ffn_impl": cfg.ffn_impl,
-                                  "scan_layers": cfg.scan_layers})
+                                  "scan_layers": resolve_scan_layers(
+                                      cfg.scan_layers,
+                                      mcfg.num_hidden_layers)})
         return None, mcfg, None
 
     logger.warning("model id %r not found locally; using random-init "
                    "BERT-base geometry", cfg.retriever_model_id)
+    base_layers = bert.BertConfig().num_hidden_layers
     mcfg = bert.BertConfig(dtype=dtype, hidden_dropout_prob=cfg.dropout,
                            attention_probs_dropout_prob=cfg.dropout,
                            attention_impl=cfg.attention_impl,
                            ffn_impl=cfg.ffn_impl,
-                           scan_layers=cfg.scan_layers)
+                           scan_layers=resolve_scan_layers(
+                               cfg.scan_layers, base_layers))
     return None, mcfg, None
 
 

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lower_case", action="store_true")
     p.add_argument("--normalize_text", action="store_true")
     p.add_argument("--pooling", type=str, default="average")
+    p.add_argument("--score_function", type=str, default="dot",
+                   choices=("dot", "cos_sim"),
+                   help="similarity between embeddings (reference "
+                        "eval_beir.py:75)")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--save_results_path", type=str, default=None)
     return p
@@ -64,7 +68,7 @@ def main(argv=None) -> None:
             split=split, batch_size=args.per_gpu_batch_size,
             norm_query=args.norm_query, norm_doc=args.norm_doc,
             lower_case=args.lower_case, normalize_text=args.normalize_text,
-            pooling=args.pooling,
+            pooling=args.pooling, score_function=args.score_function,
             save_results_path=args.save_results_path)
         for k, v in sorted(res.items()):
             logger.info("%s %s: %.2f", dataset, k, v)

@@ -25,6 +25,32 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 
+# scan_layers="auto" crossover: the Python layer loop compiles each
+# layer's HLO separately (compile time ~ depth; the 12-layer flagship
+# measured ~3x the scan's uncached compile, docs/PERF.md round-7) but
+# steps ~6-9% faster. Up to this depth the one-time compile cost —
+# amortized further by the persistent XLA cache — is worth the
+# steady-state win; past it (e.g. the 42-layer gemma teacher) scan wins.
+SCAN_AUTO_MAX_LAYERS = 16
+
+
+def resolve_scan_layers(value, num_hidden_layers: int) -> bool:
+    """Resolve the tri-state scan_layers config ("auto"/True/False) to a
+    concrete bool for a model of the given depth. Logs the auto choice."""
+    if isinstance(value, str) and value.lower() == "auto":
+        use_scan = num_hidden_layers > SCAN_AUTO_MAX_LAYERS
+        import logging
+        logging.getLogger(__name__).info(
+            "scan_layers=auto -> %s (%d layers %s %d-layer crossover)",
+            "lax.scan" if use_scan else "python loop", num_hidden_layers,
+            ">" if use_scan else "<=", SCAN_AUTO_MAX_LAYERS)
+        return use_scan
+    if isinstance(value, str):
+        raise ValueError(f"scan_layers must be 'auto', true, or false; "
+                         f"got {value!r}")
+    return bool(value)
+
+
 def enable_compilation_cache(cache_dir: str) -> None:
     """Point jax's persistent XLA compilation cache at ``cache_dir``
     (no-op for empty/None or if jax already has one configured). Safe to
@@ -88,12 +114,15 @@ class Config:
     # "fused" runs the FFN half as the fused ffn_block kernel (only
     # meaningful with attention_impl="flash_block")
     ffn_impl: str = "xla"
-    # False (default): plain Python loop over encoder layers — each
-    # layer's saved activations stay standalone buffers instead of
-    # being scan-stacked via dynamic-update-slice (measured +9.4%
-    # full-256 / +6.6% recipe-shape step throughput on v5e,
-    # docs/PERF.md); True: lax.scan (O(1) compile time in depth)
-    scan_layers: bool = False
+    # encoder layer iteration: "auto" (default) resolves per model depth
+    # via resolve_scan_layers — the Python loop for shallow encoders
+    # (each layer's saved activations stay standalone buffers instead of
+    # being scan-stacked via dynamic-update-slice: measured +9.4%
+    # full-256 / +6.6% recipe-shape step throughput on v5e, docs/PERF.md)
+    # and lax.scan (O(1) compile time in depth) for deep ones, where the
+    # loop's depth-proportional compile would dominate one-shot runs.
+    # True forces scan, False forces the loop.
+    scan_layers: object = "auto"
     rho: float = 0.05  # SAM neighborhood size (finetuning.py:75-80)
     contrastive_mode: str = "moco"
     queue_size: int = 65536
@@ -107,7 +136,16 @@ class Config:
     temperature: float = 1.0
     momentum: float = 0.999
     distill_weight: float = 0.5
-    moco_train_mode_encoder_k: bool = False
+    # True (default): the MoCo key encoder runs with dropout ON during
+    # training. The reference's argparse default is False, but its
+    # eval() branch is dead during training — encoder_k is in train
+    # mode, so ``if not self.encoder_k.training and not
+    # self.moco_train_mode_encoder_k`` (src/moco.py:316-317) never
+    # fires and keys are ALWAYS encoded with dropout. Our default
+    # preserves that actual behavior; ``--no-moco_train_mode_encoder_k``
+    # gives what the flag intends: a deterministic (eval-mode) key
+    # encoder. Threaded through steps.make_moco_step + distill.
+    moco_train_mode_encoder_k: bool = True
     eval_normalize_text: bool = False
     norm_query: bool = False
     norm_doc: bool = False
@@ -171,6 +209,17 @@ class Config:
     negative_hard_ratio: float = 0.0
 
     # --- TPU-specific knobs (new; no reference equivalent) ---
+    # strict-parity preset: one flag that pins every numerics knob whose
+    # TPU-tuned default deviates from the reference, so a user
+    # reproducing the reference recipe doesn't have to know the list:
+    #   queue_dtype   -> float32   (reference keeps an f32 torch buffer,
+    #                               src/moco.py:218-221)
+    #   ema_every_step -> False    (per-microbatch EMA, src/moco.py:260-269)
+    # The encoder activation (erf vs tanh gelu) already follows the
+    # checkpoint's config.json, and the attention/FFN kernel choices are
+    # numerics-equivalent (pinned by tests). Applied in __post_init__,
+    # overriding explicit conflicting flags.
+    parity: bool = False
     dtype: str = "bfloat16"  # compute dtype on the MXU
     param_dtype: str = "float32"
     # rematerialization over encoder layers: False, True (full
@@ -203,6 +252,9 @@ class Config:
         if self.warmup_steps is not None and self.warmup_steps < 0:
             # reference leaves -1; schedule code treats <=0 as no warmup
             pass
+        if self.parity:
+            self.queue_dtype = "float32"
+            self.ema_every_step = False
 
     # Alias kept so code written against reference flag names still reads.
     @property
@@ -253,11 +305,11 @@ class Config:
             if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
                 p.add_argument(name, nargs="+", default=f.default_factory())
                 continue
-            if f.name == "remat":  # bool-or-"dots" tri-state
-                def _remat(v):
+            if f.name in ("remat", "scan_layers"):  # bool-or-string tri-state
+                def _tri(v):
                     return {"false": False, "none": False, "true": True,
                             "full": True}.get(v.lower(), v)
-                p.add_argument(name, type=_remat, default=f.default)
+                p.add_argument(name, type=_tri, default=f.default)
                 continue
             if f.type in ("bool", bool):
                 # BooleanOptionalAction adds --<flag>/--no-<flag>, so

@@ -50,5 +50,11 @@ class PairCollator:
                                      self.max_length, self.pad_id)
         k_tokens, k_mask = pad_batch([e["k_tokens"] for e in examples],
                                      self.max_length, self.pad_id)
-        return {"q_tokens": q_tokens, "q_mask": q_mask,
-                "k_tokens": k_tokens, "k_mask": k_mask}
+        out = {"q_tokens": q_tokens, "q_mask": q_mask,
+               "k_tokens": k_tokens, "k_mask": k_mask}
+        if examples and "dataset_id" in examples[0]:
+            # provenance tag from MultiDataset mixtures (host-side only;
+            # the trainer strips non-token keys before device transfer)
+            out["dataset_id"] = np.asarray(
+                [e["dataset_id"] for e in examples], dtype=object)
+        return out

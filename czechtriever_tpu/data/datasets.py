@@ -106,6 +106,59 @@ class InMemoryDataset:
         return out
 
 
+def load_tokenized_jsonl(path: str, tokenizer, normalize_text: bool = False,
+                         maxload: Optional[int] = None) -> List[np.ndarray]:
+    """Fully tokenize a jsonl corpus into int32 doc arrays — the
+    reference's in-memory multi-corpus ingestion (``tokenize_jsonl_file``,
+    src/data.py:27-54: whole file, no special tokens, optional
+    normalization)."""
+    import json
+
+    from czechtriever_tpu.data.normalize_text import normalize as norm_fn
+    docs: List[np.ndarray] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            text = json.loads(line)["text"]
+            if normalize_text:
+                text = norm_fn(text)
+            ids = tokenizer.encode(text, add_special_tokens=False)
+            if len(ids) > 1:
+                docs.append(np.asarray(ids, np.int32))
+            if maxload and len(docs) >= maxload:
+                break
+    return docs
+
+
+class StreamChunkDataset:
+    """Random-access indexed view over a uint16 binary token stream (the
+    TokenStream file format) — lets a flat-file corpus join a
+    ``MultiDataset`` mixture without loading it into RAM. Item i is the
+    i-th chunk_length window (plus the epoch offset) turned into an
+    augmented crop pair; ``generate_offset`` re-randomizes the epoch
+    offset (src/data.py:353-354 semantics)."""
+
+    def __init__(self, path: str, chunk_length: int, spec: AugmentSpec,
+                 total_tokens: Optional[int] = None, seed: int = 0):
+        self.tokens = np.memmap(path, dtype="<u2", mode="r")
+        if total_tokens:
+            self.tokens = self.tokens[:total_tokens]
+        self.chunk_length = chunk_length
+        self.spec = spec
+        self.rng = np.random.default_rng(seed)
+        self.offset = 0
+
+    def __len__(self) -> int:
+        return (len(self.tokens) - self.offset) // self.chunk_length
+
+    def generate_offset(self) -> None:
+        self.offset = int(self.rng.integers(0, self.chunk_length))
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        s = self.offset + index * self.chunk_length
+        chunk = np.asarray(self.tokens[s:s + self.chunk_length], np.int32)
+        return self.spec.make_pair(chunk, self.rng)
+
+
 class MultiDataset:
     """Dataset mixture, sampling prob ∝ len^coeff (src/data.py:423-447)."""
 
@@ -137,6 +190,13 @@ class MultiDataset:
         for ds in self.datasets.values():
             out.extend(ds.get_passage_from_all_docs())
         return out
+
+    def generate_offset(self) -> None:
+        """Epoch-boundary re-randomization, delegated to stream-backed
+        members (InMemoryDataset re-crops per access anyway)."""
+        for ds in self.datasets.values():
+            if hasattr(ds, "generate_offset"):
+                ds.generate_offset()
 
 
 class _Prefetcher:
@@ -288,7 +348,7 @@ class IndexedPairBatcher:
 
     def __init__(self, dataset, batch_size: int, max_length: int,
                  seed: int = 0, shard_id: int = 0, num_shards: int = 1,
-                 prefetch: int = 4):
+                 prefetch: int = 4, permute: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collator = PairCollator(max_length)
@@ -296,9 +356,17 @@ class IndexedPairBatcher:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.prefetch = prefetch
+        # permute=False: the dataset randomizes internally per access
+        # (MultiDataset mixtures ignore the index), so materializing a
+        # permutation of len(dataset) — possibly hundreds of millions of
+        # entries for stream-backed members — buys nothing
+        self.permute = permute
 
     def _epoch(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = self.rng.permutation(len(self.dataset))
+        if self.permute:
+            order = self.rng.permutation(len(self.dataset))
+        else:
+            order = range(len(self.dataset))
         order = order[self.shard_id::self.num_shards]
         examples = []
         for i in order:

@@ -195,14 +195,31 @@ class DenseEncoder:
                                   use_doc_encoder=True)
 
 
+def _l2_normalize_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(n, 1e-12)
+
+
 def retrieve(encoder: DenseEncoder, corpus: Dict, queries: Dict,
              top_k: int = 1000, batch_size: int = 128,
-             mesh=None) -> Dict[str, Dict[str, float]]:
-    """Exact dense retrieval -> results[qid][docid] = score."""
+             mesh=None, score_function: str = "dot"
+             ) -> Dict[str, Dict[str, float]]:
+    """Exact dense retrieval -> results[qid][docid] = score.
+
+    score_function: 'dot' (inner product) or 'cos_sim' (both sides
+    L2-normalized first) — the reference threads this into BEIR's
+    EvaluateRetrieval (src/beir_utils.py:147,180; flag at
+    src/options.py:128)."""
+    if score_function not in ("dot", "cos_sim"):
+        raise ValueError(f"unknown score_function: {score_function!r} "
+                         "(expected 'dot' or 'cos_sim')")
     doc_ids = list(corpus.keys())
     qids = list(queries.keys())
     doc_emb = encoder.encode_corpus([corpus[d] for d in doc_ids], batch_size)
     q_emb = encoder.encode_queries([queries[q] for q in qids], batch_size)
+    if score_function == "cos_sim":
+        doc_emb = _l2_normalize_rows(doc_emb)
+        q_emb = _l2_normalize_rows(q_emb)
 
     if mesh is not None and meshlib.process_count() > 1:
         # every process holds the full gathered embeddings; search on
@@ -227,7 +244,8 @@ def evaluate_model(params: bert.Params, mcfg: bert.BertConfig, tokenizer,
                    k_values=M.DEFAULT_K_VALUES,
                    save_results_path: Optional[str] = None,
                    doc_params: bert.Params = None,
-                   doc_mcfg: bert.BertConfig = None
+                   doc_mcfg: bert.BertConfig = None,
+                   score_function: str = "dot"
                    ) -> Dict[str, float]:
     """Reference evaluate_model parity (beir_utils.py:136-247):
     returns {metric: value*100}. Passing doc_params gives the
@@ -241,7 +259,8 @@ def evaluate_model(params: bert.Params, mcfg: bert.BertConfig, tokenizer,
                            mesh=mesh, doc_params=doc_params,
                            doc_mcfg=doc_mcfg)
     results = retrieve(encoder, corpus, queries, top_k=max(k_values),
-                       batch_size=batch_size, mesh=mesh)
+                       batch_size=batch_size, mesh=mesh,
+                       score_function=score_function)
     if not is_main:
         return {}
     if save_results_path:

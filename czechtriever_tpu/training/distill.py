@@ -111,8 +111,13 @@ def make_distill_step(cfg, mcfg: bert.BertConfig, tcfg,
                 lambda pk, pq: pk * momentum + pq * (1.0 - momentum),
                 params_k, state.params_q)
 
+            # key-encoder dropout follows moco_train_mode_encoder_k
+            # (MoCoDistill shares the dead eval() branch,
+            # src/moco.py:145-146; see config.py)
             k = encode(params_k, mcfg, mb["k_tokens"], mb["k_mask"],
-                       dropout_rng=kr, deterministic=False,
+                       dropout_rng=kr,
+                       deterministic=not bool(
+                           getattr(cfg, "moco_train_mode_encoder_k", True)),
                        normalize=cfg.norm_doc, pooling_mode=cfg.pooling,
                        remat=cfg.remat)
             k = jax.lax.stop_gradient(k)

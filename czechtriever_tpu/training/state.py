@@ -67,11 +67,24 @@ def init_queue(rng: jax.Array, queue_size: int, proj_size: int,
     return l2_normalize(q, axis=-1).astype(dtype)
 
 
+def _master_cast(cfg, params):
+    """Place params at the master-weight dtype (--param_dtype, f32
+    default). bf16 masters halve the params/EMA HBM footprint at an
+    optimizer-precision cost; integer leaves pass through untouched."""
+    pd = jnp.dtype(getattr(cfg, "param_dtype", "float32") or "float32")
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(pd) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree.map(cast, params)
+
+
 def create_inbatch_state(rng: jax.Array, cfg, mcfg: bert.BertConfig, tx,
                          params: Optional[Any] = None) -> InBatchState:
     if params is None:
         params = bert.init_params(rng, mcfg)
-    params = jax.tree.map(jnp.asarray, params)
+    params = _master_cast(cfg, params)
     init_params = (jax.tree.map(jnp.copy, params)
                    if cfg.weight_decay_from_init else None)
     return InBatchState(step=jnp.int32(0), params=params,
@@ -83,7 +96,7 @@ def create_moco_state(rng: jax.Array, cfg, mcfg: bert.BertConfig, tx,
     p_rng, q_rng = jax.random.split(rng)
     if params is None:
         params = bert.init_params(p_rng, mcfg)
-    params = jax.tree.map(jnp.asarray, params)
+    params = _master_cast(cfg, params)
     # encoder_k starts as an exact copy of encoder_q (src/moco.py:211-215)
     params_k = jax.tree.map(jnp.copy, params)
     init_params = (jax.tree.map(jnp.copy, params)

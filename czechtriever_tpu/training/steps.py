@@ -254,6 +254,12 @@ def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
     # reference updates per forward (src/moco.py:260-269).
     ema_every_step = bool(getattr(cfg, "ema_every_step", False))
 
+    # key-encoder dropout: True = reference's actual training behavior
+    # (encoder_k stays in train mode, the eval() branch at
+    # src/moco.py:316-317 is dead); False = deterministic key encoder,
+    # what --no-moco_train_mode_encoder_k asks for (see config.py)
+    k_dropout = bool(getattr(cfg, "moco_train_mode_encoder_k", True))
+
     def train_step(state: MoCoState, batch: Batch,
                    rng: jax.Array) -> Tuple[MoCoState, Stats]:
         rng = jax.random.fold_in(rng, state.step)
@@ -294,9 +300,9 @@ def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
                     lambda pk, pq: pk * momentum + pq * (1.0 - momentum),
                     params_k, state.params_q)
 
-            # key features: stop-grad, dropout on (see module docstring)
+            # key features: stop-grad; dropout per moco_train_mode_encoder_k
             k = encode(params_k, mcfg, mb["k_tokens"], mb["k_mask"],
-                       dropout_rng=kr, deterministic=False,
+                       dropout_rng=kr, deterministic=not k_dropout,
                        normalize=cfg.norm_doc, pooling_mode=cfg.pooling,
                        remat=cfg.remat)
             k = jax.lax.stop_gradient(k)

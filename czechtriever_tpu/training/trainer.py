@@ -51,6 +51,10 @@ class Trainer:
             cfg = cfg.replace(projection_size=mcfg.hidden_size)
         self.cfg = cfg
         self.mcfg = mcfg
+        # trainers built programmatically (not via Config.from_args)
+        # still get the persistent XLA cache; no-op if already set
+        from czechtriever_tpu.config import enable_compilation_cache
+        enable_compilation_cache(cfg.compilation_cache_dir)
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
         self.eval_hook = eval_hook
         self.metrics = metrics
@@ -115,6 +119,18 @@ class Trainer:
         path = ckpt.latest_path(self.cfg.save_dir)
         if path is None:
             return 0
+        return self.resume_from(path, full=True)
+
+    def resume_from(self, path: str, full: bool = True) -> int:
+        """Restore from a checkpoint directory.
+
+        full=True: the whole train state — params, EMA/queue, optimizer
+        moments, step (reference utils.load reset_params=False,
+        src/utils.py:74-93; the --continue_training path,
+        train.py:468-476). full=False: model state only (params /
+        params_q / params_k / queue), fresh optimizer, step 0 — the
+        reference's warm-start-from-model_path default (reset_params=True,
+        step=0, train.py:472-476)."""
         # restore template: shapes/dtypes only — np.asarray(self.state)
         # would read the ~2 GB freshly-initialized state back from the
         # device (measured 66 s over a tunneled chip) just to overwrite
@@ -122,10 +138,20 @@ class Trainer:
         host_state = jax.tree.map(
             lambda x: np.zeros(x.shape, x.dtype), self.state)
         restored, _ = ckpt.load(host_state, path)
-        self.state = statelib.place_state(self.mesh, restored, self.mcfg,
+        if full:
+            new_state = restored
+            step = int(np.asarray(restored.step))
+        else:
+            model_fields = [n for n in ("params", "params_q", "params_k",
+                                        "queue", "queue_ptr")
+                            if hasattr(restored, n)]
+            new_state = self.state.replace(
+                **{n: getattr(restored, n) for n in model_fields})
+            step = 0
+        self.state = statelib.place_state(self.mesh, new_state, self.mcfg,
                                           self.tx, tcfg=self._teacher_mcfg)
-        step = int(np.asarray(restored.step))
-        logger.info("Resumed from %s at step %d", path, step)
+        logger.info("Resumed from %s at step %d (%s)", path, step,
+                    "full state" if full else "model weights only")
         return step
 
     def save(self, name: str) -> None:

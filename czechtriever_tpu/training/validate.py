@@ -85,14 +85,28 @@ def eval_loss(params, mcfg: bert.BertConfig, cfg, val_dataset,
     if max_batches:
         n_batches = min(n_batches, max_batches)
     max_len = cfg.chunk_length + 2
-    for b in range(n_batches):
-        idxs = list(range(b * cfg.per_device_batch_size,
-                          (b + 1) * cfg.per_device_batch_size))
-        examples = [val_dataset[i] for i in idxs]
-        qt, qm = pad_batch([e["q_tokens"] for e in examples], max_len)
-        kt, km = pad_batch([e["k_tokens"] for e in examples], max_len)
-        excluded = jnp.asarray(
-            [i if i < n_corpus else n_corpus for i in idxs], jnp.int32)
+
+    def batch_gen():
+        for b in range(n_batches):
+            idxs = list(range(b * cfg.per_device_batch_size,
+                              (b + 1) * cfg.per_device_batch_size))
+            examples = [val_dataset[i] for i in idxs]
+            qt, qm = pad_batch([e["q_tokens"] for e in examples], max_len)
+            kt, km = pad_batch([e["k_tokens"] for e in examples], max_len)
+            excluded = jnp.asarray(
+                [i if i < n_corpus else n_corpus for i in idxs], jnp.int32)
+            yield b, qt, qm, kt, km, excluded
+
+    # host-side batch prep overlaps the device sweep; depth follows the
+    # reference's validation DataLoader worker count
+    # (--num_workers_valid, train.py:205-210)
+    nwv = int(getattr(cfg, "num_workers_valid", 0) or 0)
+    if nwv > 0:
+        from czechtriever_tpu.data.datasets import _Prefetcher
+        batches = iter(_Prefetcher(batch_gen, depth=nwv))
+    else:
+        batches = batch_gen()
+    for b, qt, qm, kt, km, excluded in batches:
         loss, hit, stdq, stdk, logits = _val_batch_metrics(
             params, mcfg, jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(kt),
             jnp.asarray(km), corpus_emb, excluded, cfg.pooling, normalize,

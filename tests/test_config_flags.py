@@ -1,0 +1,266 @@
+"""Config-flag hygiene tests (round-4 asks #2 and #6).
+
+1. Every Config field must be consumed somewhere outside config.py —
+   the reference accepts-and-ignores several flags (recipe-compat
+   landmines); we either implement them or fail this test. The
+   ACCEPTED_UNUSED allowlist must stay tiny and every entry carries a
+   reason.
+2. Every Config field that maps to a reference flag keeps the
+   reference's default (/root/reference/src/options.py:16-244), so
+   numerics/cadence drift is a conscious, documented decision.
+3. The --parity preset pins the documented deviations back to strict
+   reference numerics.
+"""
+
+import dataclasses
+import os
+import re
+
+from czechtriever_tpu.config import Config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Fields allowed to have no consumer outside config.py. Keep this SHORT.
+ACCEPTED_UNUSED = {
+    # NCCL rendezvous port (src/options.py:168). On TPU there is no
+    # NCCL: jax.distributed's coordinator owns address/port selection
+    # (SLURM autodetect or COORDINATOR_ADDRESS). Parsed for recipe
+    # compatibility only.
+    "main_port",
+}
+
+
+def _package_source_without_config() -> str:
+    chunks = []
+    for root, _dirs, files in os.walk(os.path.join(REPO, "czechtriever_tpu")):
+        for name in files:
+            if name.endswith(".py") and name != "config.py":
+                with open(os.path.join(root, name), encoding="utf-8") as f:
+                    chunks.append(f.read())
+    for extra in ("bench.py", "__graft_entry__.py"):
+        with open(os.path.join(REPO, extra), encoding="utf-8") as f:
+            chunks.append(f.read())
+    return "\n".join(chunks)
+
+
+class TestEveryFlagConsumed:
+    def test_all_config_fields_referenced_outside_config(self):
+        src = _package_source_without_config()
+        dead = []
+        for f in dataclasses.fields(Config):
+            if f.name in ACCEPTED_UNUSED:
+                continue
+            if not re.search(rf"\b{re.escape(f.name)}\b", src):
+                dead.append(f.name)
+        assert not dead, (
+            f"Config fields parsed but never consumed: {dead}. Wire them "
+            "up or add them to ACCEPTED_UNUSED with a reason.")
+
+    def test_accepted_unused_entries_are_actually_unused(self):
+        """Prune the allowlist when a flag gains a consumer."""
+        src = _package_source_without_config()
+        stale = [n for n in ACCEPTED_UNUSED
+                 if re.search(rf"\b{re.escape(n)}\b", src)]
+        assert not stale, f"ACCEPTED_UNUSED entries now consumed: {stale}"
+
+
+# Reference argparse defaults, extracted from
+# /root/reference/src/options.py (field -> default). store_true flags
+# are False. Fields our Config adds beyond the reference are not listed.
+REFERENCE_DEFAULTS = {
+    "output_dir": "./checkpoint/my_experiments",     # :18
+    "save_dir": "./checkpoint/my_experiments",       # :25
+    "train_data": [],                                # :31
+    "offsets_file": None,                            # :38
+    "cumsums_file": "data/line-offsets.pkl",         # :44
+    "valid_data": [],                                # :48
+    "val_data_ratio": 0.05,                          # :55
+    "eval_data": [],                                 # :61
+    "eval_datasets": [],                             # :67
+    "eval_datasets_dir": "./",                       # :73
+    "model_path": "none",                            # :80
+    "continue_training": False,                      # :87
+    "num_workers": 5,                                # :88
+    "num_workers_valid": 1,                          # :89
+    "chunk_length": 256,                             # :91
+    "loading_mode": "split",                         # :92
+    "data_preprocessed": False,                      # :94
+    "lower_case": False,                             # :97
+    "sampling_coefficient": 0.0,                     # :103
+    "augmentation": "none",                          # :109
+    "prob_augmentation": 0.0,                        # :110
+    "dropout": 0.1,                                  # :112
+    "rho": 0.05,                                     # :113
+    "contrastive_mode": "moco",                      # :115
+    "queue_size": 65536,                             # :116
+    "temperature": 1.0,                              # :117
+    "momentum": 0.999,                               # :118
+    "distill_weight": 0.5,                           # :119
+    "eval_normalize_text": False,                    # :121
+    "norm_query": False,                             # :122
+    "norm_doc": False,                               # :123
+    "projection_size": 768,                          # :125
+    "ratio_min": 0.1,                                # :126
+    "ratio_max": 0.5,                                # :127
+    "score_function": "dot",                         # :128
+    "retriever_model_id": "czert",                   # :129
+    "pooling": "average",                            # :136
+    "random_init": False,                            # :138
+    "target_batch_size": 2048,                       # :142
+    "total_steps": 1000,                             # :157
+    "warmup_steps": -1,                              # :158
+    "seed": 0,                                       # :178
+    "optim": "adamw",                                # :186
+    "scheduler": "linear",                           # :187
+    "lr": 1e-4,                                      # :188
+    "lr_min_ratio": 0.0,                             # :193
+    "weight_decay_from_init": False,                 # :199
+    "weight_decay": 0.01,                            # :205
+    "beta1": 0.9,                                    # :206
+    "beta2": 0.98,                                   # :207
+    "eps": 1e-6,                                     # :208
+    "clip_gradients": False,                         # :210
+    "max_grad_norm": None,                           # :214
+    "max_grad_value": None,                          # :220
+    "log_freq": 100,                                 # :225
+    "eval_freq": 1000,                               # :229
+    "save_freq": 233,                                # see override below
+    "maxload": None,                                 # :240
+    "label_smoothing": 0.0,                          # :241
+    "negative_ctxs": 1,                              # :242
+    "negative_hard_min_idx": 0,                      # :243
+    "negative_hard_ratio": 0.0,                      # :244
+    # per-GPU batch flags map to per_device_* (aliases kept in the CLI)
+    "per_device_batch_size": 64,                     # per_gpu_batch_size :150
+    "per_device_eval_batch_size": 256,               # per_gpu_eval :154
+}
+REFERENCE_DEFAULTS["save_freq"] = 50000              # :233
+
+# Conscious deviations from the reference default, each with its reason.
+# Everything listed here must ALSO be flipped back by --parity if it is
+# a numerics knob (cadence/UX knobs are exempt).
+DELIBERATE_DEVIATIONS = {
+    # The reference's argparse default is False, but its eval() branch
+    # is dead during training (encoder_k stays in train mode,
+    # src/moco.py:316-317), so the reference ALWAYS trains keys with
+    # dropout on. Our True default preserves that actual behavior while
+    # making --no-moco_train_mode_encoder_k genuinely deterministic.
+    "moco_train_mode_encoder_k": True,
+    # The reference teaches from BAAI/bge-multilingual-gemma2 in
+    # distill.py:504 but options.py defaults to facebook/contriever —
+    # we keep the options.py default, so no entry needed.
+}
+
+
+class TestReferenceDefaults:
+    def test_defaults_match_reference(self):
+        cfg = Config()
+        drift = {}
+        for name, ref_default in REFERENCE_DEFAULTS.items():
+            ours = getattr(cfg, name)
+            if name in DELIBERATE_DEVIATIONS:
+                assert ours == DELIBERATE_DEVIATIONS[name], (
+                    f"{name}: documented deviation changed silently")
+                continue
+            if ours != ref_default:
+                drift[name] = (ours, ref_default)
+        assert not drift, (
+            "Config defaults drifted from the reference recipe "
+            f"(ours, reference): {drift}")
+
+    def test_moco_flag_deviation_still_tracked(self):
+        assert "moco_train_mode_encoder_k" in DELIBERATE_DEVIATIONS
+
+
+class TestParityPreset:
+    def test_parity_pins_numerics(self):
+        cfg = Config(parity=True)
+        assert cfg.queue_dtype == "float32"   # src/moco.py:218-221
+        assert cfg.ema_every_step is False    # src/moco.py:260-269
+
+    def test_parity_overrides_explicit_conflicts(self):
+        cfg = Config.from_args(["--parity", "--queue_dtype", "bfloat16"])
+        assert cfg.queue_dtype == "float32"
+
+    def test_parity_survives_json_roundtrip(self):
+        cfg = Config(parity=True)
+        cfg2 = Config.from_json(cfg.to_json())
+        assert cfg2.queue_dtype == "float32"
+
+    def test_default_is_tpu_tuned(self):
+        assert Config().queue_dtype == "bfloat16"
+
+
+class TestScanLayersAuto:
+    """Round-4 ask #8: scan_layers defaults to 'auto' — python loop for
+    shallow encoders (fast steps), lax.scan past the crossover depth
+    (bounded compile time); loop/scan numerical equivalence is pinned by
+    tests/test_bert.py."""
+
+    def test_auto_resolution_by_depth(self):
+        from czechtriever_tpu.config import (SCAN_AUTO_MAX_LAYERS,
+                                             resolve_scan_layers)
+        assert resolve_scan_layers("auto", 12) is False          # flagship
+        assert resolve_scan_layers("auto", SCAN_AUTO_MAX_LAYERS) is False
+        assert resolve_scan_layers(
+            "auto", SCAN_AUTO_MAX_LAYERS + 1) is True
+        assert resolve_scan_layers("auto", 42) is True           # gemma2-9b
+
+    def test_explicit_override(self):
+        from czechtriever_tpu.config import resolve_scan_layers
+        assert resolve_scan_layers(True, 2) is True
+        assert resolve_scan_layers(False, 100) is False
+
+    def test_unknown_string_raises(self):
+        import pytest
+
+        from czechtriever_tpu.config import resolve_scan_layers
+        with pytest.raises(ValueError, match="scan_layers"):
+            resolve_scan_layers("maybe", 12)
+
+    def test_cli_parses_tri_state(self):
+        assert Config.from_args([]).scan_layers == "auto"
+        assert Config.from_args(["--scan_layers", "true"]).scan_layers is True
+        assert Config.from_args(
+            ["--scan_layers", "false"]).scan_layers is False
+
+
+class TestMocoKeyEncoderFlag:
+    def test_deterministic_key_encoder_changes_keys_only(self):
+        """--no-moco_train_mode_encoder_k must produce dropout-free key
+        encodings: two different rngs then yield identical key vectors,
+        while the default (train-mode keys) differs across rngs."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from czechtriever_tpu.models import bert
+        from czechtriever_tpu.training import optim, state as statelib, steps
+
+        mcfg = bert.BertConfig.tiny()
+        base = dict(contrastive_mode="moco", queue_size=16,
+                    per_device_batch_size=4, target_batch_size=4,
+                    dtype="float32", projection_size=mcfg.hidden_size,
+                    dropout=0.5)
+
+        def run_keys(flag, seed):
+            cfg = Config(**base, moco_train_mode_encoder_k=flag)
+            tx = optim.make_optimizer(cfg)
+            st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
+            step = steps.make_moco_step(cfg, mcfg, tx)
+            batch = {
+                "q_tokens": np.full((1, 4, 8), 5, np.int32),
+                "q_mask": np.ones((1, 4, 8), np.int32),
+                "k_tokens": np.full((1, 4, 8), 7, np.int32),
+                "k_mask": np.ones((1, 4, 8), np.int32),
+            }
+            new_state, _ = step(st, batch, jax.random.key(seed))
+            # the enqueued keys sit at the front of the ring buffer
+            return np.asarray(new_state.queue[:4])
+
+        det_a, det_b = run_keys(False, 1), run_keys(False, 2)
+        drop_a, drop_b = run_keys(True, 1), run_keys(True, 2)
+        assert np.allclose(det_a, det_b), \
+            "deterministic key encoder must ignore the dropout rng"
+        assert not np.allclose(drop_a, drop_b), \
+            "train-mode key encoder must consume the dropout rng"
