@@ -259,3 +259,78 @@ def place_state(mesh, state, mcfg: bert.BertConfig, tx, tcfg=None):
         step=jax.device_put(state.step, rep),
         init_params=(None if state.init_params is None
                      else put(state.init_params, specs)), **extra)
+
+
+def state_memory_plan(mesh, cfg, mcfg: bert.BertConfig, tcfg=None,
+                      teacher_dtype="bfloat16") -> dict:
+    """Per-chip resident STATE bytes for a (distill) training run,
+    derived from code rather than hand arithmetic: ``jax.eval_shape``
+    over ``create_distill_state`` paired with the exact PartitionSpecs
+    ``place_state`` uses (``NamedSharding.shard_shape`` does the
+    division). Mechanizes the docs/PERF.md "9B bf16 teacher on a v5e-8"
+    table so the plan can't rot when partition_specs change (round-4
+    ask #7; reference topology: distill.py:504-509).
+
+    ``teacher_dtype``: storage dtype of the loaded teacher checkpoint
+    (bge-multilingual-gemma2 ships bf16 shards); float leaves of the
+    teacher are costed at this dtype.
+
+    Returns {component: bytes-per-chip} plus a "total" key. Nothing is
+    allocated — safe to call at the real 9B geometry on any backend.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    from czechtriever_tpu.parallel import mesh as meshlib
+
+    key = jax.random.key(0)
+    if tcfg is None:
+        raise ValueError("state_memory_plan costs the distill topology; "
+                         "pass tcfg")
+    from czechtriever_tpu.models import gemma
+    t_init = (gemma.init_params if isinstance(tcfg, gemma.GemmaConfig)
+              else bert.init_params)
+    t_abs = jax.eval_shape(lambda k: t_init(k, tcfg), key)
+    tdt = jnp.dtype(teacher_dtype)
+    t_abs = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(
+            s.shape, tdt if jnp.issubdtype(s.dtype, jnp.floating)
+            else s.dtype), t_abs)
+
+    class _TxStub:  # optimizer stub: only state SHAPES matter here, and
+        init = staticmethod(lambda params: None)  # moments are costed
+        # explicitly below as 2x params_q (Adam mu+nu, _place_opt_state)
+
+    abstract = jax.eval_shape(
+        lambda k, tp: create_distill_state(k, cfg, mcfg, tcfg, _TxStub(),
+                                           teacher_params=tp),
+        key, t_abs)
+
+    model = mesh.shape.get(meshlib.MODEL_AXIS, 1)
+    rep = NamedSharding(mesh, PartitionSpec())
+
+    def per_chip(tree, specs=None) -> int:
+        if specs is None:
+            shardings = jax.tree.map(lambda _: rep, tree)
+        else:
+            shardings = jax.tree.map(
+                lambda _, s: NamedSharding(mesh, s), tree, specs)
+        import math
+        total = 0
+        for leaf, sh in zip(jax.tree.leaves(tree),
+                            jax.tree.leaves(shardings)):
+            shard = sh.shard_shape(leaf.shape)
+            total += math.prod(shard) * jnp.dtype(leaf.dtype).itemsize
+        return total
+
+    sspecs = bert.partition_specs(mcfg) if model > 1 else None
+    tspecs = (_teacher_specs(tcfg, model)
+              if model > 1 and tcfg is not None else None)
+    plan = {
+        "teacher_params": per_chip(abstract.params_t, tspecs),
+        "student_params_q": per_chip(abstract.params_q, sspecs),
+        "student_params_k": per_chip(abstract.params_k, sspecs),
+        # Adam mu + nu mirror params_q's placement (_place_opt_state)
+        "adam_moments": 2 * per_chip(abstract.params_q, sspecs),
+        "queue": per_chip(abstract.queue),
+    }
+    plan["total"] = sum(plan.values())
+    return plan
