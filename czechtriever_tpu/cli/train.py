@@ -78,7 +78,8 @@ def _carve_val_from_train(cfg: Config, spec: AugmentSpec, tokenizer):
 
 
 def build_multicorpus_batcher(cfg: Config, spec: AugmentSpec, tokenizer,
-                              global_batch: int):
+                              batch_size: int, shard_id: int = 0,
+                              num_shards: int = 1):
     """The full reference ``load_data`` dispatcher (src/data.py:105-136 +
     load_and_tokenize_datasets :58-76): every --train_data path becomes
     one member of a MultiDataset mixture with sampling prob ∝
@@ -96,8 +97,7 @@ def build_multicorpus_batcher(cfg: Config, spec: AugmentSpec, tokenizer,
         if os.path.isdir(path):
             docs = passages.load_preprocessed_shards(
                 path, cfg.loading_mode,
-                shard_id=meshlib.process_index(),
-                num_shards=meshlib.process_count())
+                shard_id=shard_id, num_shards=num_shards)
             if docs:
                 sources[path] = InMemoryDataset(
                     docs, cfg.chunk_length, spec, seed=cfg.seed)
@@ -117,19 +117,18 @@ def build_multicorpus_batcher(cfg: Config, spec: AugmentSpec, tokenizer,
                 total_tokens=cfg.total_tokens, seed=cfg.seed)
     if not sources:
         raise SystemExit("no usable --train_data sources")
-    # per-process sampling seed: each host draws its own mixture stream
-    # (reference ranks do the same through per-rank torch seeds under
-    # DistributedSampler)
-    mixture = MultiDataset(
-        sources, seed=cfg.seed + 7919 * meshlib.process_index())
+    # per-feed sampling seed: each feed group draws its own mixture
+    # stream (reference ranks do the same through per-rank torch seeds
+    # under DistributedSampler)
+    mixture = MultiDataset(sources, seed=cfg.seed + 7919 * shard_id)
     mixture.set_prob(coeff=cfg.sampling_coefficient)  # src/data.py:113
     logger.info("MultiDataset mixture: %s",
                 {os.path.basename(p) or p: round(float(pr), 4)
                  for p, pr in zip(mixture.dataset_ids, mixture.prob)})
     batcher = IndexedPairBatcher(
-        mixture, global_batch, max_length=cfg.chunk_length + 2,
-        seed=cfg.seed, shard_id=meshlib.process_index(),
-        num_shards=meshlib.process_count(), prefetch=cfg.num_workers,
+        mixture, batch_size, max_length=cfg.chunk_length + 2,
+        seed=cfg.seed, shard_id=shard_id,
+        num_shards=num_shards, prefetch=cfg.num_workers,
         permute=False)  # MultiDataset draws randomly per access
     return batcher, mixture
 
@@ -228,14 +227,20 @@ def main(argv=None) -> None:
     if not cfg.train_data:
         raise SystemExit("--train_data is required (uint16 token file, "
                          "jsonl, or preprocessed shard dir)")
-    global_batch = (cfg.per_device_batch_size
-                    * mesh.shape[meshlib.DATA_AXIS])
+    # per-process feeding: this process builds ONLY its own rows
+    # (per_device_batch_size x its data-axis coords); the trainer
+    # assembles the global batch with make_array_from_process_local_data
+    # — full per-epoch shard coverage, no pcount-redundant host work
+    # (reference: DistributedSampler, train.py:187-193)
+    feed_id, num_feeds, n_local = meshlib.data_feed_info(mesh)
+    local_batch = cfg.per_device_batch_size * n_local
     on_epoch_start = None
     multi_corpus = (cfg.data_preprocessed or len(cfg.train_data) > 1
                     or os.path.isdir(cfg.train_data[0]))
     if multi_corpus:
-        batcher, mixture = build_multicorpus_batcher(cfg, spec, tokenizer,
-                                                     global_batch)
+        batcher, mixture = build_multicorpus_batcher(
+            cfg, spec, tokenizer, local_batch,
+            shard_id=feed_id, num_shards=num_feeds)
         on_epoch_start = mixture.generate_offset
     elif cfg.train_data[0].endswith((".jsonl", ".json")):
         # tokenizer-in-the-loop jsonl paths (reference LazyDataset /
@@ -275,16 +280,15 @@ def main(argv=None) -> None:
                 path, tokenizer, spec, cfg.chunk_length, offsets=offsets,
                 normalize_text=cfg.normalize_text, seed=cfg.seed)
         batcher = IndexedPairBatcher(
-            dataset, global_batch, max_length=cfg.chunk_length + 2,
-            seed=cfg.seed, shard_id=meshlib.process_index(),
-            num_shards=meshlib.process_count(), prefetch=cfg.num_workers)
+            dataset, local_batch, max_length=cfg.chunk_length + 2,
+            seed=cfg.seed, shard_id=feed_id,
+            num_shards=num_feeds, prefetch=cfg.num_workers)
     else:
         stream = TokenStream(
             cfg.train_data[0], cfg.chunk_length,
             total_tokens=cfg.total_tokens, seed=cfg.seed,
-            shard_id=meshlib.process_index(),
-            num_shards=meshlib.process_count())
-        batcher = PairBatcher(stream, spec, batch_size=global_batch,
+            shard_id=feed_id, num_shards=num_feeds)
+        batcher = PairBatcher(stream, spec, batch_size=local_batch,
                               seed=cfg.seed, prefetch=cfg.num_workers)
         on_epoch_start = stream.generate_offset
     val_dataset = build_val_dataset(cfg, spec, tokenizer)
@@ -294,7 +298,7 @@ def main(argv=None) -> None:
                       init_params=common.init_or_load_params(cfg, mcfg, params),
                       eval_hook=make_eval_hook(cfg, val_dataset, tokenizer,
                                                metrics, mesh),
-                      metrics=metrics)
+                      metrics=metrics, local_batches=True)
     start = trainer.maybe_resume()
     # warm start / continuation from an explicit checkpoint: only when
     # the output dir has no checkpoint of its own (reference precedence,

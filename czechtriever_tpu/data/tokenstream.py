@@ -39,6 +39,15 @@ class TokenStream:
         self.buffer_size = buffer_size
         file_tokens = os.path.getsize(path) // 2
         self.tokens_count = min(total_tokens or file_tokens, file_tokens)
+        # buffers are the shard striding unit: a corpus smaller than
+        # buffer_size * num_shards chunks would leave whole shards EMPTY
+        # (shard 1 of a 1-buffer file got zero batches — found by the
+        # 2-OS-process CLI test). Shrink the buffer so every shard owns
+        # at least one, preserving disjoint + complete coverage.
+        if num_shards > 1:
+            per_shard = max(1, (self.tokens_count // chunk_length)
+                            // num_shards)
+            self.buffer_size = min(buffer_size, per_shard)
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.offset = 0

@@ -42,6 +42,16 @@ from czechtriever_tpu.ops.attention import LANE, _keep_mask, _pad_l
 HIDDEN_SEED_OFFSET = 0x40000000  # disjoint from the per-(b,h) attention seeds
 
 
+def _no_softmax() -> bool:
+    """CZT_ATTN_NO_SOFTMAX=1: TIMING-ONLY A/B that skips the softmax
+    max/exp/log VPU chain in both kernels (outputs are numerically
+    WRONG). Used to *measure* the attention kernels' VPU softmax cost
+    for the roofline's VPU-inclusive bound (docs/PERF.md round-4
+    section) instead of estimating it. Read at trace time."""
+    import os
+    return os.environ.get("CZT_ATTN_NO_SOFTMAX") == "1"
+
+
 def _col_to_row(col, lane_pad):
     """[L, 1] f32 column -> [1, lane_pad] row (sublanes -> lanes).
 
@@ -77,9 +87,14 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (1.0 / math.sqrt(D)) + bias_row
-        m = jnp.max(s, axis=-1, keepdims=True)        # [Lq, 1]
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        if _no_softmax():                 # timing A/B — wrong numerics
+            m = jnp.zeros((s.shape[0], 1), jnp.float32)
+            p = s
+            l = jnp.sum(jnp.abs(p), axis=-1, keepdims=True) + 1.0
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)    # [Lq, 1]
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
         if not deterministic and rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
@@ -199,7 +214,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (1.0 / math.sqrt(D)) + bias_row
-        p = jnp.exp(s - _row_to_col(lse_ref[0, h:h + 1, :], Lq))
+        if _no_softmax():                 # timing A/B — wrong numerics
+            p = s - _row_to_col(lse_ref[0, h:h + 1, :], Lq)
+        else:
+            p = jnp.exp(s - _row_to_col(lse_ref[0, h:h + 1, :], Lq))
         if not deterministic and attn_rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, attn_rate, p.shape)
             inv = 1.0 / (1.0 - attn_rate)

@@ -96,6 +96,61 @@ def shard_microbatches(mesh: Mesh, batch: dict) -> dict:
             for k, v in batch.items()}
 
 
+def data_feed_info(mesh: Mesh):
+    """Which disjoint slice of the global batch THIS process must build.
+
+    Returns ``(feed_id, num_feeds, n_local_coords)``: processes owning
+    the same set of data-axis coordinates (a ``model`` axis spanning
+    hosts, the TP-teacher layout) form one *feed group* and must build
+    IDENTICAL local rows; distinct groups build disjoint row blocks.
+    Pure DP degenerates to ``(process_index, process_count,
+    data_size / process_count)``. Single process: ``(0, 1, data_size)``.
+
+    This is the key to per-process batch construction
+    (``global_from_local_microbatches``): the reference reaches the same
+    split with DistributedSampler (/root/reference/train.py:187-193);
+    building the full global batch on every host instead wastes
+    (pcount-1)/pcount of all crop/augment/pad work and shrinks per-epoch
+    shard coverage by pcount.
+    """
+    devs = mesh.devices
+    if devs.ndim == 1:
+        devs = devs[:, None]
+    proc_coords = {}
+    for di in range(devs.shape[0]):
+        for mi in range(devs.shape[1]):
+            p = devs[di, mi].process_index
+            proc_coords.setdefault(p, set()).add(di)
+    groups = {}
+    for p in sorted(proc_coords):
+        key = frozenset(proc_coords[p])
+        if key not in groups:
+            groups[key] = len(groups)
+    mine = sorted(proc_coords[jax.process_index()])
+    if mine != list(range(mine[0], mine[-1] + 1)):
+        raise ValueError(
+            f"process {jax.process_index()} owns non-contiguous data "
+            f"coords {mine}; per-process feeding needs a contiguous "
+            "device-to-process layout (reorder the mesh or feed global "
+            "batches)")
+    # feed ids follow data-axis order so row blocks stay contiguous
+    ordered = sorted(groups, key=lambda k: min(k))
+    feed_of = {k: i for i, k in enumerate(ordered)}
+    return (feed_of[frozenset(mine)], len(groups), len(mine))
+
+
+def global_from_local_microbatches(mesh: Mesh, batch: dict) -> dict:
+    """Assemble global ``[A, B_global, ...]`` microbatch arrays from each
+    process's LOCAL rows ``[A, B_local, ...]`` without replicating host
+    work (``jax.make_array_from_process_local_data``; the sharding is the
+    same ``P(None, 'data', ...)`` the global path uses, so the jitted
+    step sees identical types either way)."""
+    def put(v):
+        sharding = microbatch_sharding(mesh, np.ndim(v))
+        return jax.make_array_from_process_local_data(sharding, v)
+    return {k: put(v) for k, v in batch.items()}
+
+
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree over the mesh (params, queue, opt state)."""
     sharding = replicated(mesh)

@@ -161,7 +161,8 @@ class IVFPQIndex:
     def __init__(self, vector_sz: int, n_subquantizers: int,
                  n_bits: int = 8, nlist: int = 256, nprobe: int = 8,
                  train_iters: int = 20, seed: int = 0,
-                 query_batch: int = 1024):
+                 query_batch: int = 1024, adaptive_nprobe: bool = True,
+                 target_probe_lists: Optional[int] = None):
         assert vector_sz % n_subquantizers == 0
         self.vector_sz = vector_sz
         self.m = n_subquantizers
@@ -172,6 +173,17 @@ class IVFPQIndex:
         self.train_iters = train_iters
         self.seed = seed
         self.query_batch = query_batch
+        # adaptive nprobe (round-4): at small Q the batch-union is just
+        # the queries' own lists, and top-10-sensitive recall drops
+        # (measured Q=1 recall@10 = half of exhaustive PQ at np=8,
+        # docs/PERF.md round-3 sweep) while the scan is far under the
+        # pruning budget a large batch would use. Spend that headroom:
+        # raise the per-query probe count until the union targets
+        # ``target_probe_lists`` lists (default nlist//8), so a Q=1
+        # query probes ~12% of lists instead of <1% — at nlist=1024
+        # that is still an 8x pruned scan.
+        self.adaptive_nprobe = adaptive_nprobe
+        self.target_probe_lists = target_probe_lists
         self.centroids: Optional[np.ndarray] = None   # [nlist, D]
         self.codebooks: Optional[np.ndarray] = None   # [m, ksub, dsub]
         self.index_id_to_db_id: List = []
@@ -302,6 +314,18 @@ class IVFPQIndex:
                         jnp.asarray(fill.astype(np.int32)))
         return self._packed
 
+    def _effective_nprobe(self, n_real: int) -> int:
+        """Per-query probe count for a batch of ``n_real`` queries: at
+        least ``nprobe``; with adaptive_nprobe, enough that the batch
+        union can reach ``target_probe_lists`` (default nlist//8)."""
+        np_eff = min(self.nprobe, self.nlist)
+        if self.adaptive_nprobe and n_real > 0:
+            target = self.target_probe_lists or max(self.nprobe,
+                                                    self.nlist // 8)
+            np_eff = max(np_eff, min(self.nlist,
+                                     -(-int(target) // n_real)))
+        return np_eff
+
     # -- search ----------------------------------------------------------------
     def search_knn(self, query_vectors: np.ndarray, top_docs: int,
                    index_batch_size: Optional[int] = None
@@ -324,7 +348,7 @@ class IVFPQIndex:
                     [q, np.zeros((bs - n_real, q.shape[1]), np.float32)])
             qd = jnp.asarray(q)
             probe_dev, ip_t = coarse_probe(
-                qd, cents, min(self.nprobe, self.nlist))
+                qd, cents, self._effective_nprobe(n_real))
             probe_i = np.asarray(probe_dev)
             # union over the REAL queries only (pad rows probe garbage)
             union = np.unique(probe_i[:n_real].ravel())
@@ -365,7 +389,9 @@ class IVFPQIndex:
         with open(os.path.join(dir_path, "index_config.json"), "w") as f:
             json.dump({"type": "ivfpq", "vector_sz": self.vector_sz,
                        "m": self.m, "n_bits": self.n_bits,
-                       "nlist": self.nlist, "nprobe": self.nprobe}, f)
+                       "nlist": self.nlist, "nprobe": self.nprobe,
+                       "adaptive_nprobe": self.adaptive_nprobe,
+                       "target_probe_lists": self.target_probe_lists}, f)
 
     def deserialize_from(self, dir_path: str) -> None:
         self.centroids = np.load(os.path.join(dir_path, "centroids.npy"))

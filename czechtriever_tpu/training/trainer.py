@@ -39,7 +39,7 @@ class Trainer:
                  eval_hook: Optional[Callable[[object, int], Dict]] = None,
                  metrics: Optional[MetricsLogger] = None,
                  teacher_mcfg: Optional[bert.BertConfig] = None,
-                 teacher_params=None):
+                 teacher_params=None, local_batches: bool = False):
         if cfg.projection_size != mcfg.hidden_size:
             # the MoCo queue holds encoder outputs, which are
             # hidden_size-dimensional (no projection head in the
@@ -60,6 +60,15 @@ class Trainer:
         self.metrics = metrics
         self.tx = optim.make_optimizer(cfg)
 
+        # local_batches=True: epoch_factory yields only THIS process's
+        # rows (per_device_batch_size x its data-axis coords) and the
+        # global batch is assembled with make_array_from_process_local_data
+        # — no pcount-redundant host batch prep (reference semantics:
+        # DistributedSampler, train.py:187-193). False: every process
+        # yields the full global batch (device_put keeps local shards).
+        self.local_batches = local_batches
+        _, _, n_local_coords = meshlib.data_feed_info(self.mesh)
+        self.local_micro = cfg.per_device_batch_size * n_local_coords
         data_size = self.mesh.shape[meshlib.DATA_AXIS]
         global_micro = cfg.per_device_batch_size * data_size
         if cfg.target_batch_size % global_micro != 0:
@@ -155,8 +164,10 @@ class Trainer:
         return step
 
     def save(self, name: str) -> None:
-        if meshlib.is_main():
-            ckpt.save(self.state, self.cfg, self.cfg.save_dir, name)
+        # every process calls in: ckpt.save is collective under
+        # multi-process orbax (is_main gating would deadlock its
+        # barrier); single-process it degenerates to a plain save
+        ckpt.save(self.state, self.cfg, self.cfg.save_dir, name)
 
     @property
     def encoder_params(self):
@@ -177,6 +188,13 @@ class Trainer:
             for k, v in stacked.items():
                 stacked[k] = v.astype(
                     np.uint8 if k.endswith("_mask") else np.uint16)
+        if self.local_batches:
+            rows = next(iter(stacked.values())).shape[1]
+            if rows != self.local_micro:
+                raise ValueError(
+                    f"local_batches mode expects {self.local_micro} rows "
+                    f"per microbatch on this process, got {rows}")
+            return meshlib.global_from_local_microbatches(self.mesh, stacked)
         return meshlib.shard_microbatches(self.mesh, stacked)
 
     def train_step(self, micro_batches) -> Dict[str, float]:

@@ -65,8 +65,13 @@ def eval_loss(params, mcfg: bert.BertConfig, cfg, val_dataset,
     normalize = cfg.eval_normalize_text
 
     # encode the leave-out corpus (reference drops the remainder batch,
-    # train.py:52)
+    # train.py:52; but a val set SMALLER than one eval batch — e.g. a
+    # val_data_ratio carve of a small corpus — must not drop to zero)
     nb = len(corpus_crops) // bs
+    if nb == 0:
+        if not corpus_crops:
+            return {}
+        nb, bs = 1, len(corpus_crops)
     embs = []
     for i in range(nb):
         ids, mask = build_mask(corpus_crops[i * bs:(i + 1) * bs])

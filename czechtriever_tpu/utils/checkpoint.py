@@ -45,24 +45,36 @@ def _ckptr():
 
 def save(state: Any, cfg: Config, save_dir: str, name: str) -> str:
     """Save train state under <save_dir>/checkpoint/<name>, update
-    ``latest``. Returns the checkpoint path."""
+    ``latest``. Returns the checkpoint path.
+
+    COLLECTIVE in multi-process runs: orbax's checkpointer barriers
+    across all jax processes, so every process must call this (gating on
+    is_main deadlocks the primary at the barrier — found by the
+    2-OS-process CLI test). Only process 0 touches the filesystem
+    beyond orbax's own primary-host writes."""
+    is_main = jax.process_index() == 0
     root = os.path.join(os.path.abspath(save_dir), "checkpoint")
     path = os.path.join(root, name)
-    os.makedirs(root, exist_ok=True)
-
     state = jax.tree.map(np.asarray, state)  # pull to host once
     ckptr = _ckptr()
     state_path = os.path.join(path, "state")
-    if os.path.exists(state_path):
-        import shutil
-        shutil.rmtree(state_path)
-    os.makedirs(path, exist_ok=True)
+    if is_main:
+        os.makedirs(root, exist_ok=True)
+        if os.path.exists(state_path):
+            import shutil
+            shutil.rmtree(state_path)
+        os.makedirs(path, exist_ok=True)
+    if jax.process_count() > 1:
+        # cleanup must finish everywhere before orbax starts writing
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("czt_ckpt_cleanup")
     ckptr.save(state_path, state)
     ckptr.wait_until_finished()
-    cfg.save(os.path.join(path, "config.json"))
-    symlink_force(path, os.path.join(root, "latest"))
-    if name != "lastlog":
-        logger.info("Saving model to %s", path)
+    if is_main:
+        cfg.save(os.path.join(path, "config.json"))
+        symlink_force(path, os.path.join(root, "latest"))
+        if name != "lastlog":
+            logger.info("Saving model to %s", path)
     return path
 
 

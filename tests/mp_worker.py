@@ -259,6 +259,104 @@ def run_finetune(mode: str, proc_id: int, nproc: int, out: str) -> None:
         json.dump(result, f)
 
 
+def run_feed(mode: str, proc_id: int, nproc: int, out: str) -> None:
+    """Per-process data feeding (round-4 ask #3): each process builds
+    ONLY its own local rows — DIFFERENT content per process — and the
+    Trainer assembles the global batch via
+    make_array_from_process_local_data. The single-process oracle
+    (``feed_single``) is fed the concatenation; identical trainer
+    scalars prove the consumed global batch equals the concatenation
+    of the per-process local batches (reference semantics:
+    DistributedSampler, /root/reference/train.py:187-193)."""
+    import jax
+    import numpy as np
+    import optax
+
+    from czechtriever_tpu.config import Config
+    from czechtriever_tpu.models import bert
+    from czechtriever_tpu.parallel import mesh as meshlib
+    from czechtriever_tpu.training.trainer import Trainer
+
+    cfg = Config(queue_size=32, temperature=0.05, momentum=0.99, lr=1e-3,
+                 warmup_steps=0, total_steps=3, scheduler="linear",
+                 projection_size=32, clip_gradients=False,
+                 queue_dtype="float32", per_device_batch_size=4,
+                 target_batch_size=32, log_freq=100, eval_freq=0,
+                 save_freq=0, output_dir=os.path.join(out, f"o{proc_id}"),
+                 save_dir=os.path.join(out, f"o{proc_id}"),
+                 donate_state=False, device_prefetch=False)
+    mcfg = bert.BertConfig(vocab_size=211, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64,
+                           max_position_embeddings=64, dtype="float32",
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    mesh = meshlib.make_mesh()  # (4, 1)
+    feed_id, num_feeds, n_local = meshlib.data_feed_info(mesh)
+    assert num_feeds == nproc and feed_id == proc_id
+    B_local = cfg.per_device_batch_size * n_local
+
+    trainer = Trainer(cfg, mcfg, mesh=mesh, local_batches=True)
+    assert trainer.local_micro == B_local
+
+    def epoch():
+        # one shared deterministic GLOBAL stream; each feed takes its
+        # own row block — so the oracle sees exactly the concatenation
+        rng = np.random.default_rng(0)
+        for _ in range(6):  # 3 steps x accum 2
+            ids = rng.integers(5, 211, (2, 16, 12)).astype(np.int32)
+            rows = slice(feed_id * B_local, (feed_id + 1) * B_local)
+            mask = np.ones((B_local, 12), np.int32)
+            yield {"q_tokens": ids[0][rows], "q_mask": mask,
+                   "k_tokens": ids[1][rows], "k_mask": mask}
+
+    trainer.fit(epoch)
+    st = trainer.state
+    result = {
+        "mode": mode, "proc_id": proc_id,
+        "process_count": meshlib.process_count(),
+        "local_rows": B_local,
+        "step": int(np.asarray(st.step)),
+        "queue_ptr": int(np.asarray(st.queue_ptr)),
+        "param_norm": float(jax.jit(optax.global_norm)(st.params_q)),
+        "queue_norm": float(jax.jit(optax.global_norm)(st.queue)),
+    }
+    with open(os.path.join(out, f"proc{proc_id}.json"), "w") as f:
+        json.dump(result, f)
+
+
+def run_cli(mode: str, proc_id: int, nproc: int, out: str) -> None:
+    """The ACTUAL trainer CLI run as N OS processes on a shared u16
+    stream (the previously untested CLI-level multi-process path). The
+    test pre-writes tokens.bin and model.json into <out>."""
+    from czechtriever_tpu.cli import train as train_cli
+    from czechtriever_tpu.parallel import mesh as meshlib
+
+    run_dir = os.path.join(out, "run")
+    train_cli.main([
+        "--train_data", os.path.join(out, "tokens.bin"),
+        "--output_dir", run_dir, "--save_dir", run_dir,
+        "--contrastive_mode", "moco", "--queue_size", "64",
+        "--chunk_length", "16", "--target_batch_size", "16",
+        "--per_device_batch_size", "2", "--total_steps", "3",
+        "--log_freq", "1", "--lr", "1e-3", "--random_init",
+        "--retriever_model_id", "nonexistent-tiny",
+        "--model_config_file", os.path.join(out, "model.json"),
+        "--dtype", "float32", "--projection_size", "32",
+        "--val_data_ratio", "0", "--num_workers", "0",
+        "--no-device_prefetch",
+    ])
+    result = {
+        "mode": mode, "proc_id": proc_id,
+        "process_count": meshlib.process_count(),
+        "is_main": meshlib.is_main(),
+        "final_ckpt": os.path.exists(
+            os.path.join(run_dir, "checkpoint", "final")),
+    }
+    with open(os.path.join(out, f"proc{proc_id}.json"), "w") as f:
+        json.dump(result, f)
+
+
 def main() -> None:
     mode, proc_id, nproc, port, out = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
@@ -288,7 +386,7 @@ def main() -> None:
     from czechtriever_tpu.training import optim, state as statelib, steps
 
     if mode in ("explicit", "eval_explicit", "distill_explicit",
-                "finetune_explicit"):
+                "finetune_explicit", "feed_explicit", "cli_explicit"):
         meshlib.init_distributed(coordinator_address=f"127.0.0.1:{port}",
                                  num_processes=nproc, process_id=proc_id)
     elif mode == "slurm":
@@ -296,6 +394,12 @@ def main() -> None:
 
     if mode.startswith("eval"):
         run_eval(mode, proc_id, nproc, out)
+        return
+    if mode.startswith("feed"):
+        run_feed(mode, proc_id, nproc, out)
+        return
+    if mode.startswith("cli"):
+        run_cli(mode, proc_id, nproc, out)
         return
     if mode.startswith("distill"):
         assert len(jax.devices()) == 4, jax.devices()

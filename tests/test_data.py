@@ -75,6 +75,26 @@ class TestTokenStream:
         ref = np.sort(np.concatenate(list(s_full)))
         np.testing.assert_array_equal(union, ref)
 
+    def test_sharding_small_corpus_no_empty_shards(self, token_file):
+        """A corpus smaller than buffer_size * num_shards chunks must
+        still feed every shard: the buffer (the striding unit) shrinks
+        so each shard owns at least one. Regression for the 2-OS-process
+        CLI hang (shard 1 of a 1-buffer file yielded zero batches)."""
+        path, tokens = token_file
+        n_chunks = len(tokens) // 64
+        shards = []
+        for shard in range(2):
+            # nominal buffer far larger than the whole corpus
+            s = TokenStream(path, chunk_length=64, buffer_size=100_000,
+                            seed=7, shard_id=shard, num_shards=2)
+            got = list(s)
+            assert len(got) >= n_chunks // 4, (shard, len(got))
+            shards.append(np.concatenate(got))
+        union = np.sort(np.concatenate(shards))
+        ref = np.sort(np.concatenate(list(
+            TokenStream(path, chunk_length=64, buffer_size=100_000))))
+        np.testing.assert_array_equal(union, ref)
+
     def test_total_tokens_derived_from_filesize(self, token_file):
         path, tokens = token_file
         s = TokenStream(path, chunk_length=64, buffer_size=10)

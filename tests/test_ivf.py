@@ -65,6 +65,56 @@ class TestIVFPQ:
         # clustered data: 4/16 probes should still catch most neighbors
         assert recall > 0.5
 
+    def test_effective_nprobe_rule(self):
+        """Adaptive nprobe (round-4 ask #5): union targets nlist//8
+        lists by default — Q=1 probes the whole target, big batches fall
+        back to the configured nprobe; nlist caps everything."""
+        idx = IVFPQIndex(64, 16, 8, nlist=1024, nprobe=8)
+        assert idx._effective_nprobe(1) == 128    # 1024//8
+        assert idx._effective_nprobe(8) == 16
+        assert idx._effective_nprobe(16) == 8     # floor = nprobe
+        assert idx._effective_nprobe(256) == 8
+        idx.target_probe_lists = 4096
+        assert idx._effective_nprobe(1) == 1024   # capped at nlist
+        idx.adaptive_nprobe = False
+        assert idx._effective_nprobe(1) == 8
+
+    def test_adaptive_small_q_recall_beats_fixed(self):
+        """At Q=1 the adaptive probe must close (most of) the top-10
+        recall gap to exhaustive PQ that fixed small nprobe leaves
+        (measured half-recall, docs/PERF.md round-3 sweep)."""
+        corpus = clustered_corpus(n=4000)
+        rng = np.random.default_rng(5)
+        queries = (corpus[::40][:24]
+                   + 0.05 * rng.normal(size=(24, 64)).astype(np.float32))
+        flat = FlatIndex(64)
+        flat.index_data([str(i) for i in range(len(corpus))], corpus)
+        truth = [set(ids) for ids, _ in flat.search_knn(queries, 10)]
+
+        def q1_recall(idx):
+            r = []
+            for qi, q in enumerate(queries):       # one query at a time
+                ids, _ = idx.search_knn(q[None, :], 10)[0]
+                r.append(len(set(ids) & truth[qi]) / 10)
+            return float(np.mean(r))
+
+        fixed = IVFPQIndex(64, 16, 8, nlist=64, nprobe=2, train_iters=10,
+                           adaptive_nprobe=False)
+        fixed.index_data([str(i) for i in range(len(corpus))], corpus)
+        rec_fixed = q1_recall(fixed)
+
+        fixed.adaptive_nprobe = True               # target = 64//8 = 8 lists
+        rec_adaptive = q1_recall(fixed)
+
+        pq = PQIndex(64, 16, 8, kmeans_iters=10)
+        pq.index_data([str(i) for i in range(len(corpus))], corpus)
+        rec_pq = np.mean([len(set(ids) & truth[qi]) / 10 for qi, (ids, _)
+                          in enumerate(pq.search_knn(queries, 10))])
+
+        assert rec_adaptive > rec_fixed
+        # adaptive Q=1 recall@10 within 10% of exhaustive PQ's
+        assert rec_adaptive >= 0.9 * rec_pq, (rec_adaptive, rec_pq)
+
     @pytest.mark.slow  # >15s on the CPU backend
     def test_scores_are_descending_and_ids_valid(self):
         corpus = clustered_corpus(n=500)

@@ -81,7 +81,7 @@ class TestDispatcher:
                      num_workers=0, seed=0)
         tok = load_tokenizer(model_dir)
         batcher, mixture = build_multicorpus_batcher(
-            cfg, spec_for(cfg), tok, global_batch=8)
+            cfg, spec_for(cfg), tok, batch_size=8)
         assert set(mixture.dataset_ids) == {ja, jb, pre}
         seen = Counter()
         for i, batch in enumerate(batcher.epoch()):
@@ -107,7 +107,7 @@ class TestDispatcher:
             cfg = Config(train_data=[ja, pre], chunk_length=16,
                          num_workers=0, sampling_coefficient=coeff, seed=0)
             _, mixture = build_multicorpus_batcher(
-                cfg, spec_for(cfg), tok, global_batch=4)
+                cfg, spec_for(cfg), tok, batch_size=4)
             c = Counter(mixture[i]["dataset_id"] for i in range(n))
             return c[pre] / n
 
@@ -146,7 +146,7 @@ class TestDispatcher:
         pre = make_shard_dir(tmp_path, "pre", 30)
         cfg = Config(train_data=[tf, pre], chunk_length=16, num_workers=0)
         batcher, mixture = build_multicorpus_batcher(
-            cfg, spec_for(cfg), None, global_batch=4)
+            cfg, spec_for(cfg), None, batch_size=4)
         assert len(mixture.datasets[tf]) == 5000 // 16
         seen = set()
         for i, batch in enumerate(batcher.epoch()):

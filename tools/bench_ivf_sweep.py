@@ -122,12 +122,25 @@ def main() -> None:
             print(rows[-1], file=sys.stderr)
         for nprobe in nprobes:
             ivf.nprobe = nprobe
+            ivf.adaptive_nprobe = False
             hits, qps, ms = timed(ivf, qb, args.k, args.reps)
             rows.append(dict(engine=f"ivfpq(np={nprobe})", Q=Q,
                              qps=round(qps, 1), ms=round(ms, 2),
                              recall10=round(recall(hits, truth, 10), 3),
                              recall100=round(recall(hits, truth, 100), 3)))
             print(rows[-1], file=sys.stderr)
+        # adaptive nprobe (round-4 default): union targets nlist//8
+        # lists, so small-Q batches spend the pruning headroom on
+        # top-10 recall instead of scanning <1% of lists
+        ivf.nprobe = nprobes[0]
+        ivf.adaptive_nprobe = True
+        np_eff = ivf._effective_nprobe(Q)
+        hits, qps, ms = timed(ivf, qb, args.k, args.reps)
+        rows.append(dict(engine=f"ivfpq(adaptive->np={np_eff})", Q=Q,
+                         qps=round(qps, 1), ms=round(ms, 2),
+                         recall10=round(recall(hits, truth, 10), 3),
+                         recall100=round(recall(hits, truth, 100), 3)))
+        print(rows[-1], file=sys.stderr)
 
     print(json.dumps({"n": args.n, "d": args.d, "k": args.k,
                       "m": args.m, "nlist": args.nlist, "rows": rows}))
