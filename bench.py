@@ -64,7 +64,8 @@ def model_flops_per_pair(mcfg, seq: int, queue_size: int,
 def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           attention_impl: str = "auto", hidden_act: str = "gelu_tanh",
           unroll: int = 1, ema_every_step: bool = False,
-          ffn_impl: str = "xla", scan_layers: bool = True):
+          ffn_impl: str = "xla", scan_layers: bool = True,
+          dropout: float = 0.1):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config, enable_compilation_cache
@@ -81,7 +82,9 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
                            max_position_embeddings=512, dtype="bfloat16",
                            attention_impl=attention_impl,
                            hidden_act=hidden_act, scan_unroll=unroll,
-                           ffn_impl=ffn_impl, scan_layers=scan_layers)
+                           ffn_impl=ffn_impl, scan_layers=scan_layers,
+                           hidden_dropout_prob=dropout,
+                           attention_probs_dropout_prob=dropout)
     remat_arg = {"none": False, "full": True, "dots": "dots"}.get(
         remat, remat)
     cfg = Config(queue_size=queue_size, temperature=0.05, momentum=0.9995,

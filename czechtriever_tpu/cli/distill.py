@@ -109,13 +109,15 @@ def main(argv=None) -> None:
 
     if not cfg.train_data:
         raise SystemExit("--train_data is required (uint16 token file)")
+    # per-process feeding (see cli/train.py): each process builds only
+    # its feed group's rows
+    feed_id, num_feeds, n_local = meshlib.data_feed_info(mesh)
     stream = TokenStream(
         cfg.train_data[0], cfg.chunk_length,
         total_tokens=cfg.total_tokens, seed=cfg.seed,
-        shard_id=meshlib.process_index(), num_shards=meshlib.process_count())
+        shard_id=feed_id, num_shards=num_feeds)
     batcher = PairBatcher(stream, spec,
-                          batch_size=cfg.per_device_batch_size
-                          * mesh.shape[meshlib.DATA_AXIS],
+                          batch_size=cfg.per_device_batch_size * n_local,
                           seed=cfg.seed, prefetch=cfg.num_workers)
     val_dataset = build_val_dataset(cfg, spec, tokenizer)
 
@@ -124,7 +126,7 @@ def main(argv=None) -> None:
                       init_params=common.init_or_load_params(cfg, mcfg, params),
                       eval_hook=make_eval_hook(cfg, val_dataset, tokenizer,
                                                metrics, mesh),
-                      metrics=metrics,
+                      metrics=metrics, local_batches=True,
                       teacher_mcfg=tcfg, teacher_params=tparams)
     # teacher with its own vocabulary: decode + re-tokenize queries with
     # the instruction prompt (distill.py:395-405)

@@ -78,16 +78,18 @@ def main(argv=None) -> None:
         raise SystemExit("--train_data is required (DPR json/jsonl)")
 
     collator = TripletCollator(tokenizer, passage_maxlength=cfg.chunk_length)
+    # per-process feeding (see cli/train.py): each process builds only
+    # its feed group's rows
+    feed_id, num_feeds, n_local = meshlib.data_feed_info(mesh)
     train_ds = TripletDataset(
         cfg.train_data, negative_ctxs=cfg.negative_ctxs,
         negative_hard_ratio=cfg.negative_hard_ratio,
         negative_hard_min_idx=cfg.negative_hard_min_idx, training=True,
-        shard_id=meshlib.process_index() if meshlib.process_count() > 1 else -1,
-        num_shards=meshlib.process_count(), maxload=cfg.maxload,
+        shard_id=feed_id if num_feeds > 1 else -1,
+        num_shards=num_feeds, maxload=cfg.maxload,
         normalize=cfg.eval_normalize_text, seed=cfg.seed)
-    global_batch = (cfg.per_device_batch_size
-                    * mesh.shape[meshlib.DATA_AXIS])
-    train_batcher = TripletBatcher(train_ds, collator, global_batch,
+    local_batch = cfg.per_device_batch_size * n_local
+    train_batcher = TripletBatcher(train_ds, collator, local_batch,
                                    seed=cfg.seed)
     eval_batcher = None
     if cfg.eval_data:
@@ -106,7 +108,7 @@ def main(argv=None) -> None:
                       init_params=common.init_or_load_params(cfg, mcfg, params),
                       eval_hook=make_eval_hook(cfg, eval_batcher, tokenizer,
                                                metrics, mesh),
-                      metrics=metrics)
+                      metrics=metrics, local_batches=True)
     start = trainer.maybe_resume()
     logger.info("Finetuning from step %d on %d examples", start,
                 len(train_ds))

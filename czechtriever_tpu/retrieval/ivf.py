@@ -27,11 +27,22 @@ lookups/s vs ~77 GB/s of [Q]-wide LUT-row fetches). Scoring the union
 for every query keeps the vector-friendly access pattern and prunes
 the scan to the probed fraction of the corpus; each query may see
 *extra* exactly-scored candidates from lists probed only by its
-batch-mates, so per-query recall is >= classical IVF at the same
-nprobe. The pruning pays off when the union is small: few queries per
-batch and/or nprobe << nlist. Measured (docs/PERF.md round-3 sweep,
-1M x 768, m=96, nlist=1024, nprobe=8): 4.2x / 2.1x / 1.6x exhaustive
-PQ's QPS at Q=1/8/32 with equal-or-better recall@100.
+batch-mates. Measured (docs/PERF.md round-3 sweep, 1M x 768, m=96,
+nlist=1024, nprobe=8): 4.2x / 2.1x / 1.6x exhaustive PQ's QPS at
+Q=1/8/32 with equal-or-better recall@100.
+
+**Top-10 recall at small Q** is the sharp edge of fixed small nprobe:
+the same sweep measured Q=1 recall@10 = 0.100 vs exhaustive PQ's 0.200
+— a lone query's union is just its own nprobe lists, so items that
+exhaustive ADC ranks top-10 but live in unprobed lists are lost.
+``adaptive_nprobe`` (default ON) fixes this by spending the pruning
+headroom small batches leave on the table: the per-query probe count
+rises until the union targets ``target_probe_lists`` (default
+nlist//8) lists, i.e. a Q=1 query probes ~12% of lists (still an ~8x
+pruned scan) instead of <1%. Unit-tested to bring Q=1 recall@10
+within 10% of exhaustive PQ (tests/test_ivf.py); recall@100 is bound
+by the (m, n_bits) quantization ceiling either way, so raising nprobe
+past the adaptive target buys nothing (measured flat in the sweep).
 
 Engine choice guidance (measured, docs/PERF.md): use FlatIndex while
 the corpus fits HBM — it is exact AND faster than both PQ engines at

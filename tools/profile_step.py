@@ -113,6 +113,9 @@ def main() -> None:
     ap.add_argument("--layer_loop", default="python",
                     choices=("scan", "python"))
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--dropout", type=float, default=0.1,
+                    help="encoder dropout rate; 0 gives the dropout-off "
+                         "kernel A/B for the VPU-cost measurement")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--keep", action="store_true",
@@ -126,7 +129,7 @@ def main() -> None:
     step_fn, st, b, cfg = bench.build(
         args.batch, args.accum, args.seq, args.queue_size, args.remat,
         args.attention, args.gelu, ffn_impl=args.ffn,
-        scan_layers=args.layer_loop == "scan")
+        scan_layers=args.layer_loop == "scan", dropout=args.dropout)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     for _ in range(3):  # compile + warmup
         st, stats = step_fn(st, b, rng)
