@@ -47,6 +47,14 @@ python -m czechtriever_tpu.cli.train \
 # ---- variants (mirror the commented torchrun lines in the reference) -------
 # wiki-jsonl source (LazyDataset path):
 #   ... --train_data "$DATA/train.kb.jsonl" --offsets_file "$DATA/offsets.pkl"
+# multi-corpus mixture (reference load_and_tokenize_datasets /
+# data_preprocessed paths; prob ~ len^coeff):
+#   ... --train_data "$DATA/wiki.jsonl" "$DATA/web.jsonl" "$DATA/shards_dir" \
+#       --sampling_coefficient 0.5 --loading_mode split
+# warm start / continuation from an earlier run:
+#   ... --model_path "/mnt/scratch/$USER/old-run" [--continue_training]
+# strict reference numerics (f32 queue, per-microbatch EMA):
+#   ... --parity
 # distillation (teacher time-sliced on the mesh, distill.py topology):
 #   python -m czechtriever_tpu.cli.distill ... --target_batch_size 1024 \
 #       --teacher_model_id models/teacher --distill_weight 0.5 --eval_freq 100
