@@ -75,33 +75,18 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
     Q rows are padded to 8-sublane granularity only (crop-shaped
     batches); K/V stay 128-lane padded because Lk is the scores' lane
     dim. The softmax stats are folded into one logsumexp row per head,
-    stored [H, Lq_lane] with L on the LANE dim (see _col_to_row).
-
-    Head h+1's QK^T dot is issued BEFORE head h's softmax/dropout VPU
-    chain (software pipelining in program order): the kernels are
-    VPU-dominated at these shapes (corrected roofline,
-    docs/PERF.md round-8 — the softmax/PRNG chain over ~100M elements
-    costs more than the 64-deep score dots), and interleaving lets
-    Mosaic hide the MXU work under the VPU work of the previous head.
-    Pure reordering — numerics are bit-identical to the sequential
-    form."""
+    stored [H, Lq_lane] with L on the LANE dim (see _col_to_row)."""
     H = n_heads
     D = q_ref.shape[-1] // H
     outs = []
     lse_rows = []
-
-    def score(h):
-        cols = slice(h * D, (h + 1) * D)
-        s = jax.lax.dot_general(q_ref[0, :, cols], k_ref[0, :, cols],
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return s * (1.0 / math.sqrt(D)) + bias_row
-
-    s_next = score(0)
     for h in range(H):
-        s = s_next
-        if h + 1 < H:
-            s_next = score(h + 1)         # MXU overlaps the VPU below
+        cols = slice(h * D, (h + 1) * D)
+        q = q_ref[0, :, cols]
+        k = k_ref[0, :, cols]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(D)) + bias_row
         if _no_softmax():                 # timing A/B — wrong numerics
             m = jnp.zeros((s.shape[0], 1), jnp.float32)
             p = s
@@ -113,7 +98,6 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
         if not deterministic and rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-        cols = slice(h * D, (h + 1) * D)
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, cols],
                     preferred_element_type=jnp.float32)
         outs.append((o / l).astype(q_ref.dtype))
@@ -221,25 +205,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
                                preferred_element_type=jnp.float32).astype(dt)
 
     # ---- per-head attention backward (ops/attention.py math) -----------
-    # head h+1's score recompute is issued before head h's VPU chain
-    # (same software pipelining as _mha_ctx; pure reordering)
-    def _score(h):
-        cols = slice(h * D, (h + 1) * D)
-        s = jax.lax.dot_general(q_ref[0, :, cols], k_ref[0, :, cols],
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return s * (1.0 / math.sqrt(D)) + bias_row
-
-    s_next = _score(0)
     for h in range(H):
         cols = slice(h * D, (h + 1) * D)
         q = q_ref[0, :, cols]
         k = k_ref[0, :, cols]
         v = v_ref[0, :, cols]
         do = dctx[:, cols]
-        s = s_next
-        if h + 1 < H:
-            s_next = _score(h + 1)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(D)) + bias_row
         if _no_softmax():                 # timing A/B — wrong numerics
             p = s - _row_to_col(lse_ref[0, h:h + 1, :], Lq)
         else:
