@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -111,11 +112,12 @@ def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         remat, attention_impl: str = "auto",
         hidden_act: str = "gelu_tanh", unroll: int = 1,
         ema_every_step: bool = False, ffn_impl: str = "xla",
-        scan_layers: bool = True):
+        scan_layers: bool = True, dropout: float = 0.1):
     import jax
     step_fn, st, b, cfg = build(batch, accum, seq, queue_size, remat,
                                 attention_impl, hidden_act, unroll,
-                                ema_every_step, ffn_impl, scan_layers)
+                                ema_every_step, ffn_impl, scan_layers,
+                                dropout)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
@@ -129,7 +131,10 @@ def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         st, stats = step_fn(st, b, rng)
     loss = float(stats["loss"])
     dt = time.perf_counter() - t0
-    assert np.isfinite(loss), f"non-finite loss {loss}"
+    # CZT_ATTN_NO_SOFTMAX is a timing-only kernel A/B with intentionally
+    # wrong numerics (ops/attention_block.py) — loss may be non-finite
+    if os.environ.get("CZT_ATTN_NO_SOFTMAX") != "1":
+        assert np.isfinite(loss), f"non-finite loss {loss}"
     pairs = batch * accum * steps_n
     return pairs / dt, dt / steps_n, loss
 
@@ -181,6 +186,9 @@ def main():
     # compile-time form
     p.add_argument("--ema_every_step", action="store_true")
     p.add_argument("--ffn", default="fused", choices=("xla", "fused"))
+    p.add_argument("--dropout", type=float, default=0.1,
+                   help="encoder dropout rate; 0 is the kernel A/B "
+                        "measuring the in-kernel PRNG/mask VPU cost")
     # fused FFN block (ops/ffn_block.py): 526.3 vs 501.4 pairs/s with
     # the XLA FFN chain (both under flash_block attention)
     args = p.parse_args()
@@ -197,7 +205,8 @@ def main():
                                         args.attention, args.gelu,
                                         args.unroll, args.ema_every_step,
                                         args.ffn,
-                                        args.layer_loop == "scan")
+                                        args.layer_loop == "scan",
+                                        args.dropout)
                 break
             except Exception as e:
                 oom = ("RESOURCE_EXHAUSTED" in str(e)
