@@ -69,10 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto")
     p.add_argument("--nlist", type=int, default=1024)
     p.add_argument("--nprobe", type=int, default=32)
-    # adaptive nprobe: small query batches raise the probe count until
-    # the union targets target_probe_lists lists (default nlist//8),
-    # recovering top-10 recall at Q=1 (retrieval/ivf.py docstring)
-    p.add_argument("--no_adaptive_nprobe", action="store_true")
+    # adaptive nprobe (opt-in): small query batches raise the probe
+    # count until the union targets target_probe_lists lists (default
+    # nlist//8). Only helps genuinely starved nprobe configs — at the
+    # default np/nlist the pooled sweep measures no recall gap to
+    # close (retrieval/ivf.py docstring)
+    p.add_argument("--adaptive_nprobe", action="store_true")
     p.add_argument("--target_probe_lists", type=int, default=None)
     p.add_argument("--save_or_load_index", action="store_true",
                    help="serialize the index beside the embeddings, or "
@@ -170,7 +172,7 @@ def main(argv=None) -> None:
                            args.n_subquantizers or mcfg.hidden_size // 8,
                            args.n_bits, nlist=args.nlist,
                            nprobe=args.nprobe,
-                           adaptive_nprobe=not args.no_adaptive_nprobe,
+                           adaptive_nprobe=args.adaptive_nprobe,
                            target_probe_lists=args.target_probe_lists)
     elif itype == "pq":
         index = PQIndex(mcfg.hidden_size,

@@ -31,18 +31,18 @@ batch-mates. Measured (docs/PERF.md round-3 sweep, 1M x 768, m=96,
 nlist=1024, nprobe=8): 4.2x / 2.1x / 1.6x exhaustive PQ's QPS at
 Q=1/8/32 with equal-or-better recall@100.
 
-**Top-10 recall at small Q** is the sharp edge of fixed small nprobe:
-the same sweep measured Q=1 recall@10 = 0.100 vs exhaustive PQ's 0.200
-— a lone query's union is just its own nprobe lists, so items that
-exhaustive ADC ranks top-10 but live in unprobed lists are lost.
-``adaptive_nprobe`` (default ON) fixes this by spending the pruning
-headroom small batches leave on the table: the per-query probe count
-rises until the union targets ``target_probe_lists`` (default
-nlist//8) lists, i.e. a Q=1 query probes ~12% of lists (still an ~8x
-pruned scan) instead of <1%. Unit-tested to bring Q=1 recall@10
-within 10% of exhaustive PQ (tests/test_ivf.py); recall@100 is bound
-by the (m, n_bits) quantization ceiling either way, so raising nprobe
-past the adaptive target buys nothing (measured flat in the sweep).
+**Small-Q top-10 recall is NOT a weakness** (round-4 correction): the
+round-3 sweep's "Q=1 recall@10 = half of exhaustive PQ" row was
+computed over a single query — a 10-item sample. Re-measured over a
+64-query pool searched in Q-sized batches (docs/PERF.md round-4
+sweep), np=8 IVF-PQ scores recall@10 = 0.200 vs exhaustive PQ's 0.191
+and recall@100 = 0.520 vs 0.516 at EVERY Q in {1, 8, 32}; recall is
+flat in nprobe because the (m, n_bits) quantization ceiling dominates.
+``adaptive_nprobe`` (default OFF) remains available for genuinely
+starved configs — it raises the per-query probe count until the batch
+union targets ``target_probe_lists`` (default nlist//8) lists, which
+measurably helps only when nprobe covers a far smaller list fraction
+than that target (tests/test_ivf.py exercises nprobe=2 of nlist=64).
 
 Engine choice guidance (measured, docs/PERF.md): use FlatIndex while
 the corpus fits HBM — it is exact AND faster than both PQ engines at
@@ -172,7 +172,7 @@ class IVFPQIndex:
     def __init__(self, vector_sz: int, n_subquantizers: int,
                  n_bits: int = 8, nlist: int = 256, nprobe: int = 8,
                  train_iters: int = 20, seed: int = 0,
-                 query_batch: int = 1024, adaptive_nprobe: bool = True,
+                 query_batch: int = 1024, adaptive_nprobe: bool = False,
                  target_probe_lists: Optional[int] = None):
         assert vector_sz % n_subquantizers == 0
         self.vector_sz = vector_sz
@@ -184,15 +184,16 @@ class IVFPQIndex:
         self.train_iters = train_iters
         self.seed = seed
         self.query_batch = query_batch
-        # adaptive nprobe (round-4): at small Q the batch-union is just
-        # the queries' own lists, and top-10-sensitive recall drops
-        # (measured Q=1 recall@10 = half of exhaustive PQ at np=8,
-        # docs/PERF.md round-3 sweep) while the scan is far under the
-        # pruning budget a large batch would use. Spend that headroom:
-        # raise the per-query probe count until the union targets
-        # ``target_probe_lists`` lists (default nlist//8), so a Q=1
-        # query probes ~12% of lists instead of <1% — at nlist=1024
-        # that is still an 8x pruned scan.
+        # adaptive nprobe (default OFF): raises the per-query probe
+        # count at small Q until the batch union targets
+        # ``target_probe_lists`` lists (default nlist//8). Round-3's
+        # "Q=1 recall@10 is half of exhaustive PQ" motivation turned
+        # out to be a single-query sampling artifact: the round-4
+        # 64-query-pool sweep (docs/PERF.md) measures np=8 IVF-PQ at
+        # recall@10 0.200 vs PQ 0.191 at EVERY Q, recall flat in
+        # nprobe (the (m, n_bits) ceiling dominates), while adaptive
+        # costs up to 2.3x QPS at Q=1. Keep it for genuinely starved
+        # configs (nprobe covering <~1% of lists on unclustered data).
         self.adaptive_nprobe = adaptive_nprobe
         self.target_probe_lists = target_probe_lists
         self.centroids: Optional[np.ndarray] = None   # [nlist, D]

@@ -66,10 +66,11 @@ class TestIVFPQ:
         assert recall > 0.5
 
     def test_effective_nprobe_rule(self):
-        """Adaptive nprobe (round-4 ask #5): union targets nlist//8
-        lists by default — Q=1 probes the whole target, big batches fall
-        back to the configured nprobe; nlist caps everything."""
-        idx = IVFPQIndex(64, 16, 8, nlist=1024, nprobe=8)
+        """Adaptive nprobe (opt-in): union targets nlist//8 lists —
+        Q=1 probes the whole target, big batches fall back to the
+        configured nprobe; nlist caps everything."""
+        idx = IVFPQIndex(64, 16, 8, nlist=1024, nprobe=8,
+                         adaptive_nprobe=True)
         assert idx._effective_nprobe(1) == 128    # 1024//8
         assert idx._effective_nprobe(8) == 16
         assert idx._effective_nprobe(16) == 8     # floor = nprobe
@@ -80,9 +81,13 @@ class TestIVFPQ:
         assert idx._effective_nprobe(1) == 8
 
     def test_adaptive_small_q_recall_beats_fixed(self):
-        """At Q=1 the adaptive probe must close (most of) the top-10
-        recall gap to exhaustive PQ that fixed small nprobe leaves
-        (measured half-recall, docs/PERF.md round-3 sweep)."""
+        """Mechanism test for the opt-in adaptive probe at a genuinely
+        STARVED config (nprobe=2 of nlist=64, ~3% of lists): adaptive
+        must close (most of) the Q=1 top-10 gap to exhaustive PQ.
+        NOTE this is not the production operating point — at np=8 /
+        nlist=1024 the round-4 pooled sweep (docs/PERF.md) measures no
+        gap at all (round-3's half-recall row was a single-query
+        artifact), which is why adaptive_nprobe defaults to False."""
         corpus = clustered_corpus(n=4000)
         rng = np.random.default_rng(5)
         queries = (corpus[::40][:24]

@@ -38,6 +38,21 @@ def timed(idx, queries, k, reps):
     return res, len(queries) / dt, dt * 1e3
 
 
+def recall_at_Q(idx, queries, truth, Q, k):
+    """Recall over the WHOLE query pool, searched in batches of size Q.
+
+    Timing uses one Q-batch; recall must not — at Q=1 a single query's
+    top-10 gives a 10-item sample (granularity 0.1), which is how the
+    round-3 sweep published a statistically meaningless 'half recall'
+    row. Batching by Q keeps the union-width effect faithful (IVF-PQ's
+    per-batch probe union makes recall genuinely Q-dependent)."""
+    hits = []
+    for s in range(0, len(queries), Q):
+        hits.extend(idx.search_knn(queries[s:s + Q], k))
+    return (round(recall(hits, truth, 10), 3),
+            round(recall(hits, truth, 100), 3))
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
@@ -49,6 +64,9 @@ def main() -> None:
     p.add_argument("--qs", default="1,8,32")
     p.add_argument("--nprobes", default="8,16,32,64")
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--recall_pool", type=int, default=64,
+                   help="query-pool size recall is averaged over "
+                        "(searched in Q-sized batches)")
     args = p.parse_args()
     qs = [int(x) for x in args.qs.split(",")]
     nprobes = [int(x) for x in args.nprobes.split(",")]
@@ -60,7 +78,7 @@ def main() -> None:
     print(f"corpus {args.n}x{args.d} ...", file=sys.stderr)
     corpus = clustered_corpus(args.n, args.d)
     rng = np.random.default_rng(1)
-    qmax = max(qs)
+    qmax = max(max(qs), args.recall_pool)
     qidx = rng.integers(0, args.n, qmax)
     queries = (corpus[qidx]
                + 0.05 * rng.normal(size=(qmax, args.d))).astype(np.float32)
@@ -109,25 +127,26 @@ def main() -> None:
     ivf._build()
     t = stage("ivf pack", t)
 
+    pool = queries[:args.recall_pool]
+    truth_pool = truth_all[:args.recall_pool]
     rows = []
     for Q in qs:
         qb = queries[:Q]
-        truth = truth_all[:Q]
         for name, idx in (("flat", flat), ("pq", pq)):
-            hits, qps, ms = timed(idx, qb, args.k, args.reps)
+            _, qps, ms = timed(idx, qb, args.k, args.reps)
+            r10, r100 = recall_at_Q(idx, pool, truth_pool, Q, args.k)
             rows.append(dict(engine=name, Q=Q, qps=round(qps, 1),
-                             ms=round(ms, 2),
-                             recall10=round(recall(hits, truth, 10), 3),
-                             recall100=round(recall(hits, truth, 100), 3)))
+                             ms=round(ms, 2), recall10=r10,
+                             recall100=r100))
             print(rows[-1], file=sys.stderr)
         for nprobe in nprobes:
             ivf.nprobe = nprobe
             ivf.adaptive_nprobe = False
-            hits, qps, ms = timed(ivf, qb, args.k, args.reps)
+            _, qps, ms = timed(ivf, qb, args.k, args.reps)
+            r10, r100 = recall_at_Q(ivf, pool, truth_pool, Q, args.k)
             rows.append(dict(engine=f"ivfpq(np={nprobe})", Q=Q,
                              qps=round(qps, 1), ms=round(ms, 2),
-                             recall10=round(recall(hits, truth, 10), 3),
-                             recall100=round(recall(hits, truth, 100), 3)))
+                             recall10=r10, recall100=r100))
             print(rows[-1], file=sys.stderr)
         # adaptive nprobe (round-4 default): union targets nlist//8
         # lists, so small-Q batches spend the pruning headroom on
@@ -135,11 +154,11 @@ def main() -> None:
         ivf.nprobe = nprobes[0]
         ivf.adaptive_nprobe = True
         np_eff = ivf._effective_nprobe(Q)
-        hits, qps, ms = timed(ivf, qb, args.k, args.reps)
+        _, qps, ms = timed(ivf, qb, args.k, args.reps)
+        r10, r100 = recall_at_Q(ivf, pool, truth_pool, Q, args.k)
         rows.append(dict(engine=f"ivfpq(adaptive->np={np_eff})", Q=Q,
                          qps=round(qps, 1), ms=round(ms, 2),
-                         recall10=round(recall(hits, truth, 10), 3),
-                         recall100=round(recall(hits, truth, 100), 3)))
+                         recall10=r10, recall100=r100))
         print(rows[-1], file=sys.stderr)
 
     print(json.dumps({"n": args.n, "d": args.d, "k": args.k,
