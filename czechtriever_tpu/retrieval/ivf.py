@@ -27,9 +27,9 @@ lookups/s vs ~77 GB/s of [Q]-wide LUT-row fetches). Scoring the union
 for every query keeps the vector-friendly access pattern and prunes
 the scan to the probed fraction of the corpus; each query may see
 *extra* exactly-scored candidates from lists probed only by its
-batch-mates. Measured (docs/PERF.md round-3 sweep, 1M x 768, m=96,
-nlist=1024, nprobe=8): 4.2x / 2.1x / 1.6x exhaustive PQ's QPS at
-Q=1/8/32 with equal-or-better recall@100.
+batch-mates. Measured (docs/PERF.md round-4 pooled sweep, 1M x 768,
+m=96, nlist=1024, nprobe=8): 4.1x / 2.0x / 1.2x exhaustive PQ's QPS
+at Q=1/8/32 with equal-or-better recall@10 and recall@100.
 
 **Small-Q top-10 recall is NOT a weakness** (round-4 correction): the
 round-3 sweep's "Q=1 recall@10 = half of exhaustive PQ" row was
