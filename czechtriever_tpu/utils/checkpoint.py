@@ -55,7 +55,18 @@ def save(state: Any, cfg: Config, save_dir: str, name: str) -> str:
     is_main = jax.process_index() == 0
     root = os.path.join(os.path.abspath(save_dir), "checkpoint")
     path = os.path.join(root, name)
-    state = jax.tree.map(np.asarray, state)  # pull to host once
+
+    def _to_host(x):
+        # replicated / single-process arrays: pull to host once (cheap,
+        # and avoids orbax re-fetching through the device tunnel). A
+        # process-SPANNING shard (multi-host TP) is not fully
+        # addressable — np.asarray would raise — so hand the jax.Array
+        # to orbax, which gathers each host's shards itself.
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        return np.asarray(x)
+
+    state = jax.tree.map(_to_host, state)
     ckptr = _ckptr()
     state_path = os.path.join(path, "state")
     if is_main:
