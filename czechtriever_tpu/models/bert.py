@@ -80,6 +80,20 @@ class BertConfig:
     # matmul, dropout, residual, LN in one program; only used together
     # with attention_impl="flash_block"); "xla" (default)
     ffn_impl: str = "xla"
+    # Pack PAIRS of batch elements into one kernel row-block when the
+    # sequence's 128-lane key padding is wasteful (recipe shape: L=136
+    # pads to 256 lanes, 47% dead score/softmax/PV work; packed, two
+    # 136-token items share one 272-row program padded to 384 lanes —
+    # 25% less score-area work and half the grid). Attention stays
+    # block-diagonal via segmented key masks (ops/attention_block.py
+    # _build_biasp); only active with attention_impl="flash_block",
+    # even B, L % 8 == 0 and L % 128 != 0 (else packing buys nothing).
+    # Dropout STREAMS differ from the unpacked kernel (per-program
+    # seeds cover two elements); dropout=0 numerics match to fp
+    # accumulation order. Default ON: measured +8.2% train-step
+    # throughput at the recipe shape (1033 -> 1117.6 pairs/s,
+    # docs/PERF.md round-4) and a no-op everywhere the gate declines.
+    attention_pack_pairs: bool = True
     # "fused": Pallas LayerNorm kernel (ops/layernorm.py, TPU only);
     # "xla" (default): matmul-stats LN — measured equal or slightly
     # faster than the fused kernel both standalone (3.05 vs 3.76 ms
@@ -369,6 +383,16 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
     neg = jnp.asarray(-1e30, jnp.float32)
     bias = jnp.where(attention_mask.astype(bool), 0.0, neg)
 
+    # pair packing (see BertConfig.attention_pack_pairs): run the whole
+    # layer stack on [B/2, 2L, D] — every op in the layer is row-local
+    # except attention, which the fused kernel keeps block-diagonal via
+    # the segmented [B/2, 2, L] bias. The reshapes are layout-free.
+    pack = (cfg.attention_pack_pairs and cfg.attention_impl == "flash_block"
+            and B % 2 == 0 and L % 8 == 0 and L % 128 != 0)
+    if pack:
+        x = x.reshape(B // 2, 2 * L, -1)
+        bias = bias.reshape(B // 2, 2, L)
+
     def body(carry, lp_and_i):
         h = carry
         lp, i = lp_and_i
@@ -406,12 +430,12 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
         for i in range(cfg.num_hidden_layers):
             lp = jax.tree.map(lambda a: a[i], params["layers"])
             x, _ = body(x, (lp, jnp.int32(i)))
-        return x
+        return x.reshape(B, L, -1) if pack else x
 
     layer_idx = jnp.arange(cfg.num_hidden_layers)
     x, _ = jax.lax.scan(body, x, (params["layers"], layer_idx),
                         unroll=cfg.scan_unroll)
-    return x
+    return x.reshape(B, L, -1) if pack else x
 
 
 def num_params(params: Params) -> int:

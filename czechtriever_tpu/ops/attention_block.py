@@ -68,6 +68,51 @@ def _col_to_row(col, lane_pad):
     return jnp.transpose(col)
 
 
+def _bias_mat(bias_ref, n_segs, Lq):
+    """Additive score bias from the [1, S, Lk_pad] bias block.
+
+    S=1 (the default, unpacked path): one key-mask row broadcast over
+    every q row — returned as [1, Lk_pad] so the add stays the cheap
+    broadcast it always was. S>1 (pair-packing, docs/PERF.md round-4):
+    segment j's q rows see segment j's key-mask row, whose live span is
+    its own diagonal key block — cross-segment attention is killed by
+    the -1e30 fill the host-side packing wrote there."""
+    if n_segs == 1:
+        return bias_ref[0, 0][None, :]
+    seg_rows = Lq // n_segs
+    return jnp.concatenate(
+        [jnp.broadcast_to(bias_ref[0, j][None, :],
+                          (seg_rows, bias_ref.shape[-1]))
+         for j in range(n_segs)], axis=0)
+
+
+def _build_biasp(bias, L, Lk_pad):
+    """Host-side additive-bias layout for the kernels.
+
+    [B, L] key mask (legacy) -> [B, 1, Lk_pad] with -1e30 beyond L.
+    [B, S, L_seg] segmented masks (pair packing) -> [B, S, Lk_pad]:
+    segment j's row carries its own mask over its diagonal key block
+    [j*L_seg, (j+1)*L_seg) and -1e30 everywhere else, so packed batch
+    elements cannot attend each other's keys."""
+    if bias.ndim == 2:
+        bp = _pad_l(bias, Lk_pad, 1) + jnp.where(
+            jnp.arange(Lk_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
+        return bp[:, None, :]
+    _, S, L_seg = bias.shape
+    assert S * L_seg == L, (bias.shape, L)
+    col = jnp.arange(Lk_pad)
+    rows = []
+    for j in range(S):
+        live = (col >= j * L_seg) & (col < (j + 1) * L_seg)
+        seg = jnp.where(
+            live[None, :],
+            jnp.take(bias[:, j], jnp.clip(col - j * L_seg, 0, L_seg - 1),
+                     axis=1),
+            -1e30)
+        rows.append(seg)
+    return jnp.stack(rows, axis=1).astype(jnp.float32)
+
+
 def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
              n_heads, rate, deterministic, save_stats):
     """Per-head attention into a [Lq, HD] context, stats saved.
@@ -75,7 +120,9 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
     Q rows are padded to 8-sublane granularity only (crop-shaped
     batches); K/V stay 128-lane padded because Lk is the scores' lane
     dim. The softmax stats are folded into one logsumexp row per head,
-    stored [H, Lq_lane] with L on the LANE dim (see _col_to_row)."""
+    stored [H, Lq_lane] with L on the LANE dim (see _col_to_row).
+    ``bias_row`` is [1, Lk_pad] (broadcast) or a full [Lq, Lk_pad]
+    matrix in the pair-packed segmented case."""
     H = n_heads
     D = q_ref.shape[-1] // H
     outs = []
@@ -111,9 +158,9 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
                 sc_ref, lb_ref, bias_ref, y_ref, ctx_ref, lse_ref,
                 ln_ref, *, n_heads, attn_rate, hidden_rate,
-                eps, deterministic):
+                eps, deterministic, n_segs=1):
     b = pl.program_id(0)
-    bias_row = bias_ref[0, 0][None, :]
+    bias_row = _bias_mat(bias_ref, n_segs, q_ref.shape[1])
     ctx = _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref,
                    b, n_heads, attn_rate, deterministic, save_stats=True)
     ctx_ref[0] = ctx
@@ -146,14 +193,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
                 sc_ref, bias_ref, ctx_ref, lse_ref, ln_ref,
                 dy_ref, dq_ref, dk_ref, dv_ref, dx_ref, dw_ref,
                 dbo_ref, dsc_ref, dlb_ref, *, n_heads, attn_rate,
-                hidden_rate, eps, deterministic):
+                hidden_rate, eps, deterministic, n_segs=1):
     b = pl.program_id(0)
     H = n_heads
     D = q_ref.shape[-1] // H
     HD = q_ref.shape[-1]
     Lq = q_ref.shape[1]
     dt = q_ref.dtype
-    bias_row = bias_ref[0, 0][None, :]
+    bias_row = _bias_mat(bias_ref, n_segs, Lq)
 
     # ---- recompute z / zhat from the saved ctx --------------------------
     ctx = ctx_ref[0]
@@ -254,8 +301,10 @@ def attention_block(q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
     """Fused MHA + out-proj + dropout + residual + LayerNorm.
 
     q,k,v,x: [B, L, H*D]; wo: [H*D, H*D]; bo/scale/ln_bias: [H*D];
-    bias: [B, L] additive key mask; seed: int32 scalar. Returns y in
-    x.dtype."""
+    bias: [B, L] additive key mask, or [B, S, L//S] segmented masks
+    for pair packing (S batch elements per row-block; block-diagonal
+    attention, see BertConfig.attention_pack_pairs); seed: int32
+    scalar. Returns y in x.dtype."""
     y, *_ = _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
                         n_heads, attn_rate, hidden_rate, eps,
                         deterministic)
@@ -271,20 +320,22 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
     # pad to the 128-lane multiple because Lk is the scores' lane dim.
     # Stats arrays put L on the LANE dim (compact HBM layout), so their
     # L pads to 128 — cheap, they are tiny.
+    S = 1 if bias.ndim == 2 else bias.shape[1]
     Lq_pad = -(-L // 8) * 8
     Lk_pad = -(-L // LANE) * LANE
     Lq_lane = -(-Lq_pad // LANE) * LANE
+    if S > 1:
+        # pair packing: every q row is a real token of some segment
+        assert Lq_pad == L, "packed rows must be 8-aligned (L_seg % 8 == 0)"
     qp, xp = (_pad_l(t, Lq_pad, 1) for t in (q, x))
     kp, vp = (_pad_l(t, Lk_pad, 1) for t in (k, v))
-    biasp = _pad_l(bias, Lk_pad, 1) + jnp.where(
-        jnp.arange(Lk_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
-    biasp = biasp[:, None, :]
+    biasp = _build_biasp(bias, L, Lk_pad)
     if seed is None:
         seed = jnp.int32(0)
 
     kern = functools.partial(_fwd_kernel, n_heads=H, attn_rate=attn_rate,
                              hidden_rate=hidden_rate, eps=eps,
-                             deterministic=deterministic)
+                             deterministic=deterministic, n_segs=S)
     full = lambda b: (b, 0, 0)
     wspec = pl.BlockSpec((HD, HD), lambda b: (0, 0))
     vec = pl.BlockSpec((HD,), lambda b: (0,))
@@ -298,7 +349,7 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
             pl.BlockSpec((1, Lk_pad, HD), full),
             pl.BlockSpec((1, Lq_pad, HD), full),
             wspec, vec, vec, vec,
-            pl.BlockSpec((1, 1, Lk_pad), full),
+            pl.BlockSpec((1, S, Lk_pad), full),
         ],
         out_specs=[
             pl.BlockSpec((1, Lq_pad, HD), full),
@@ -342,15 +393,14 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
     q, k, v, x, wo, bo, scale, bias, seed, ctx, lse, ln = res
     B, L, HD = q.shape
     H = n_heads
+    S = 1 if bias.ndim == 2 else bias.shape[1]
     Lq_pad = ctx.shape[1]
     Lq_lane = lse.shape[2]
     Lk_pad = -(-L // LANE) * LANE
     qp, xp = (_pad_l(t, Lq_pad, 1) for t in (q, x))
     kp, vp = (_pad_l(t, Lk_pad, 1) for t in (k, v))
     dyp = _pad_l(dy, Lq_pad, 1)
-    biasp = _pad_l(bias, Lk_pad, 1) + jnp.where(
-        jnp.arange(Lk_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
-    biasp = biasp[:, None, :]
+    biasp = _build_biasp(bias, L, Lk_pad)
     if seed is None:
         seed = jnp.int32(0)
     # padded-row guards (l == 0 / rstd == 0) live inside the kernel now:
@@ -358,7 +408,7 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
 
     kern = functools.partial(_bwd_kernel, n_heads=H, attn_rate=attn_rate,
                              hidden_rate=hidden_rate, eps=eps,
-                             deterministic=deterministic)
+                             deterministic=deterministic, n_segs=S)
     full = lambda b: (b, 0, 0)
     acc2 = pl.BlockSpec((HD, HD), lambda b: (0, 0))
     acc1 = pl.BlockSpec((HD,), lambda b: (0,))
@@ -372,7 +422,7 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
             pl.BlockSpec((1, Lk_pad, HD), full),
             pl.BlockSpec((1, Lq_pad, HD), full),
             acc2, acc1, acc1,
-            pl.BlockSpec((1, 1, Lk_pad), full),
+            pl.BlockSpec((1, S, Lk_pad), full),
             pl.BlockSpec((1, Lq_pad, HD), full),
             pl.BlockSpec((1, H, Lq_lane), full),
             pl.BlockSpec((1, 2, Lq_lane), full),

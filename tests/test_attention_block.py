@@ -119,3 +119,107 @@ class TestOnChip:
         # LN makes it only locally linear in v; allow small curvature
         assert abs(float(exact) - float(g[0, 7, 33])) < 1e-1 * max(
             1.0, abs(float(exact)))
+
+
+class TestPairPacking:
+    """Segmented-bias pair packing (round-4): two batch elements share
+    one kernel row-block; the block-diagonal bias must make the packed
+    call reproduce the unpacked per-element outputs."""
+
+    def _packed_args(self, rng, B, H, L, D):
+        q, k, v, x, wo, bo, scale, ln_bias, bias = make_inputs(
+            rng, B, H, L, D)
+        HD = H * D
+        pk = [t.reshape(B // 2, 2 * L, HD) for t in (q, k, v, x)]
+        bias_seg = bias.reshape(B // 2, 2, L)
+        return (q, k, v, x, wo, bo, scale, ln_bias, bias), \
+            (pk[0], pk[1], pk[2], pk[3], wo, bo, scale, ln_bias, bias_seg)
+
+    def test_interpret_packed_matches_unpacked(self):
+        rng = np.random.default_rng(7)
+        B, H, L, D = 4, 3, 40, 32      # L % 8 == 0, L % 128 != 0
+        unpacked, packed = self._packed_args(rng, B, H, L, D)
+        out_u = AB.attention_block_interpret(*unpacked, jnp.int32(0),
+                                             n_heads=H)
+        out_p = AB.attention_block_interpret(*packed, jnp.int32(0),
+                                             n_heads=H)
+        np.testing.assert_allclose(
+            np.asarray(out_p).reshape(B, L, H * D), np.asarray(out_u),
+            rtol=2e-4, atol=2e-4)
+
+    def test_model_forward_packed_matches_unpacked_interpret(self):
+        """bert.forward pack gate on the CPU interpret path is exercised
+        on chip (-m tpu); here check the gate's shape conditions."""
+        from czechtriever_tpu.models import bert
+        cfg = bert.BertConfig.tiny(attention_impl="flash_block",
+                                   attention_pack_pairs=True)
+        # gate requires even B, L % 8 == 0, L % 128 != 0 — none of this
+        # changes public shapes; forward must return [B, L, D] whatever
+        # the gate decides (interpret path not available for the fused
+        # kernel on CPU, so only assert the config plumbs)
+        assert cfg.attention_pack_pairs
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled Pallas kernels need the real chip")
+class TestPairPackingOnChip:
+    def test_packed_forward_and_grads_match_unpacked(self):
+        rng = np.random.default_rng(11)
+        B, H, L, D = 4, 4, 136, 32     # the recipe row shape
+        q, k, v, x, wo, bo, scale, ln_bias, bias = make_inputs(
+            rng, B, H, L, D)
+        HD = H * D
+        qp, kp, vp, xp = (t.reshape(B // 2, 2 * L, HD)
+                          for t in (q, k, v, x))
+        bias_seg = bias.reshape(B // 2, 2, L)
+
+        def loss_u(q, k, v, x, wo):
+            return (AB.attention_block(q, k, v, x, wo, bo, scale,
+                                       ln_bias, bias, jnp.int32(0), H)
+                    .astype(jnp.float32) ** 2).sum()
+
+        def loss_p(q, k, v, x, wo):
+            return (AB.attention_block(q, k, v, x, wo, bo, scale,
+                                       ln_bias, bias_seg, jnp.int32(0), H)
+                    .astype(jnp.float32) ** 2).sum()
+
+        out_u = jax.jit(functools.partial(AB.attention_block, n_heads=H))(
+            q, k, v, x, wo, bo, scale, ln_bias, bias, jnp.int32(0))
+        out_p = jax.jit(functools.partial(AB.attention_block, n_heads=H))(
+            qp, kp, vp, xp, wo, bo, scale, ln_bias, bias_seg, jnp.int32(0))
+        np.testing.assert_allclose(
+            np.asarray(out_p).reshape(B, L, HD), np.asarray(out_u),
+            rtol=3e-3, atol=3e-3)
+
+        gu = jax.jit(jax.grad(loss_u, argnums=(0, 1, 2, 3, 4)))(
+            q, k, v, x, wo)
+        gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3, 4)))(
+            qp, kp, vp, xp, wo)
+        for a, b in zip(gp[:4], gu[:4]):
+            np.testing.assert_allclose(
+                np.asarray(a).reshape(B, L, HD), np.asarray(b),
+                rtol=3e-2, atol=3e-2)
+        np.testing.assert_allclose(np.asarray(gp[4]), np.asarray(gu[4]),
+                                   rtol=3e-2, atol=3e-2)
+
+    def test_bert_forward_packed_matches_unpacked(self):
+        from czechtriever_tpu.models import bert
+        rng = np.random.default_rng(13)
+        base = dict(attention_impl="flash_block",
+                    hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0)
+        cfg_u = bert.BertConfig.tiny(**base)
+        cfg_p = bert.BertConfig.tiny(attention_pack_pairs=True, **base)
+        params = bert.init_params(jax.random.PRNGKey(0), cfg_u)
+        B, L = 4, 40
+        ids = jnp.asarray(rng.integers(5, 900, (B, L)), jnp.int32)
+        mask = np.ones((B, L), np.int32)
+        mask[:, -3:] = 0
+        mask = jnp.asarray(mask)
+        out_u = jax.jit(lambda p, i, m: bert.forward(p, cfg_u, i, m))(
+            params, ids, mask)
+        out_p = jax.jit(lambda p, i, m: bert.forward(p, cfg_p, i, m))(
+            params, ids, mask)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                                   rtol=3e-3, atol=3e-3)
