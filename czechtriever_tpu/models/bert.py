@@ -80,14 +80,18 @@ class BertConfig:
     # matmul, dropout, residual, LN in one program; only used together
     # with attention_impl="flash_block"); "xla" (default)
     ffn_impl: str = "xla"
-    # Pack PAIRS of batch elements into one kernel row-block when the
-    # sequence's 128-lane key padding is wasteful (recipe shape: L=136
-    # pads to 256 lanes, 47% dead score/softmax/PV work; packed, two
-    # 136-token items share one 272-row program padded to 384 lanes —
-    # 25% less score-area work and half the grid). Attention stays
-    # block-diagonal via segmented key masks (ops/attention_block.py
-    # _build_biasp); only active with attention_impl="flash_block",
-    # even B, L % 8 == 0 and L % 128 != 0 (else packing buys nothing).
+    # Pack PAIRS of batch elements into one kernel row-block (recipe
+    # shape: two 136-token items share one 272-row program whose keys
+    # pad to 384 lanes). NOTE the raw score area per element RISES 1.5x
+    # ([272,384]/2 vs [136,256]) — the measured +8.2% comes from
+    # halving the kernel grid (per-program fixed costs: DMA setup,
+    # weight block residency, stats transposes, Mosaic prologue) and
+    # from larger better-tiled dots, which outweigh the extra masked
+    # FLOPs. Attention stays block-diagonal via segmented key masks
+    # (ops/attention_block.py _build_biasp); only active with
+    # attention_impl="flash_block", even B, L % 8 == 0 and
+    # L % 128 != 0 (at lane-aligned L the bigger score matrix would be
+    # pure overhead).
     # Dropout STREAMS differ from the unpacked kernel (per-program
     # seeds cover two elements); dropout=0 numerics match to fp
     # accumulation order. Default ON: measured +8.2% train-step
