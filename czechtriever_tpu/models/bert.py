@@ -83,11 +83,12 @@ class BertConfig:
     # Pack PAIRS of batch elements into one kernel row-block (recipe
     # shape: two 136-token items share one 272-row program whose keys
     # pad to 384 lanes). NOTE the raw score area per element RISES 1.5x
-    # ([272,384]/2 vs [136,256]) — the measured +8.2% comes from
-    # halving the kernel grid (per-program fixed costs: DMA setup,
-    # weight block residency, stats transposes, Mosaic prologue) and
-    # from larger better-tiled dots, which outweigh the extra masked
-    # FLOPs. Attention stays block-diagonal via segmented key masks
+    # ([272,384]/2 vs [136,256]) — the measured +8.2% comes entirely
+    # from the larger, better-lane-tiled dots (N=384 = 3 full lane
+    # tiles vs a half-dead final tile at 136-real-of-256; 272 rows
+    # amortize MXU pipeline fill/drain): the CZT_ATTN_BLOCK_B control
+    # showed grid-halving alone buys nothing (docs/PERF.md round-8).
+    # Attention stays block-diagonal via segmented key masks
     # (ops/attention_block.py _build_biasp); only active with
     # attention_impl="flash_block", even B, L % 8 == 0 and
     # L % 128 != 0 (at lane-aligned L the bigger score matrix would be

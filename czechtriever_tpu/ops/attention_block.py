@@ -24,6 +24,12 @@ Weight gradients are accumulated ACROSS the sequential TPU grid into a
 single VMEM-resident block (initialized at program 0), so no [B, ...]
 partial buffers ever hit HBM.
 
+CZT_ATTN_BLOCK_B=n (trace-time, default 1) processes n batch elements
+per Pallas program with SEPARATE score matrices — pure per-program
+overhead amortization with bitwise-identical outputs and dropout
+streams (the pair-packing finding, docs/PERF.md round-8: these kernels
+are overhead-bound at the recipe shape, not arithmetic-bound).
+
 Enable with ``BertConfig(attention_impl="flash_block")``.
 """
 
@@ -52,6 +58,14 @@ def _no_softmax() -> bool:
     return os.environ.get("CZT_ATTN_NO_SOFTMAX") == "1"
 
 
+def _block_b_env() -> int:
+    """CZT_ATTN_BLOCK_B: batch elements per Pallas program (default 1).
+    Read at trace time; numerics (incl. dropout streams) are bitwise
+    independent of this knob — it only regroups grid iterations."""
+    import os
+    return max(1, int(os.environ.get("CZT_ATTN_BLOCK_B", "1")))
+
+
 def _col_to_row(col, lane_pad):
     """[L, 1] f32 column -> [1, lane_pad] row (sublanes -> lanes).
 
@@ -68,8 +82,8 @@ def _col_to_row(col, lane_pad):
     return jnp.transpose(col)
 
 
-def _bias_mat(bias_ref, n_segs, Lq):
-    """Additive score bias from the [1, S, Lk_pad] bias block.
+def _bias_mat(bias_ref, i, n_segs, Lq):
+    """Additive score bias for element ``i`` of the program's block.
 
     S=1 (the default, unpacked path): one key-mask row broadcast over
     every q row — returned as [1, Lk_pad] so the add stays the cheap
@@ -78,10 +92,10 @@ def _bias_mat(bias_ref, n_segs, Lq):
     its own diagonal key block — cross-segment attention is killed by
     the -1e30 fill the host-side packing wrote there."""
     if n_segs == 1:
-        return bias_ref[0, 0][None, :]
+        return bias_ref[i, 0][None, :]
     seg_rows = Lq // n_segs
     return jnp.concatenate(
-        [jnp.broadcast_to(bias_ref[0, j][None, :],
+        [jnp.broadcast_to(bias_ref[i, j][None, :],
                           (seg_rows, bias_ref.shape[-1]))
          for j in range(n_segs)], axis=0)
 
@@ -113,14 +127,17 @@ def _build_biasp(bias, L, Lk_pad):
     return jnp.stack(rows, axis=1).astype(jnp.float32)
 
 
-def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
+def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, i, b,
              n_heads, rate, deterministic, save_stats):
     """Per-head attention into a [Lq, HD] context, stats saved.
 
-    Q rows are padded to 8-sublane granularity only (crop-shaped
-    batches); K/V stay 128-lane padded because Lk is the scores' lane
-    dim. The softmax stats are folded into one logsumexp row per head,
-    stored [H, Lq_lane] with L on the LANE dim (see _col_to_row).
+    ``i`` indexes the element within the program's batch block; ``b``
+    is the GLOBAL batch element index (seeds the dropout PRNG, so
+    streams are independent of the block grouping). Q rows are padded
+    to 8-sublane granularity only (crop-shaped batches); K/V stay
+    128-lane padded because Lk is the scores' lane dim. The softmax
+    stats are folded into one logsumexp row per head, stored
+    [H, Lq_lane] with L on the LANE dim (see _col_to_row).
     ``bias_row`` is [1, Lk_pad] (broadcast) or a full [Lq, Lk_pad]
     matrix in the pair-packed segmented case."""
     H = n_heads
@@ -129,8 +146,8 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
     lse_rows = []
     for h in range(H):
         cols = slice(h * D, (h + 1) * D)
-        q = q_ref[0, :, cols]
-        k = k_ref[0, :, cols]
+        q = q_ref[i, :, cols]
+        k = k_ref[i, :, cols]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (1.0 / math.sqrt(D)) + bias_row
@@ -145,43 +162,46 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, b,
         if not deterministic and rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-        o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, cols],
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[i, :, cols],
                     preferred_element_type=jnp.float32)
         outs.append((o / l).astype(q_ref.dtype))
         if save_stats:
             lse_rows.append(_col_to_row(m + jnp.log(l), lse_ref.shape[-1]))
     if save_stats:
-        lse_ref[0] = jnp.concatenate(lse_rows, axis=0)
+        lse_ref[i] = jnp.concatenate(lse_rows, axis=0)
     return jnp.concatenate(outs, axis=-1)  # [Lq, HD]
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
                 sc_ref, lb_ref, bias_ref, y_ref, ctx_ref, lse_ref,
                 ln_ref, *, n_heads, attn_rate, hidden_rate,
-                eps, deterministic, n_segs=1):
-    b = pl.program_id(0)
-    bias_row = _bias_mat(bias_ref, n_segs, q_ref.shape[1])
-    ctx = _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref,
-                   b, n_heads, attn_rate, deterministic, save_stats=True)
-    ctx_ref[0] = ctx
-    attn = jnp.dot(ctx, w_ref[...], preferred_element_type=jnp.float32)
-    attn = attn + bo_ref[...].astype(jnp.float32)[None, :]
-    if not deterministic and hidden_rate > 0.0:
-        keep = _keep_mask(seed_ref[0] + HIDDEN_SEED_OFFSET + b,
-                          hidden_rate, attn.shape)
-        attn = jnp.where(keep, attn * (1.0 / (1.0 - hidden_rate)), 0.0)
-    z = x_ref[0].astype(jnp.float32) + attn
-    mean = jnp.mean(z, axis=-1, keepdims=True)
-    zc = z - mean
-    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    zhat = zc * rstd
-    y = zhat * sc_ref[...].astype(jnp.float32)[None, :] \
-        + lb_ref[...].astype(jnp.float32)[None, :]
-    y_ref[0] = y.astype(y_ref.dtype)
-    lane = ln_ref.shape[-1]
-    ln_ref[0] = jnp.concatenate(
-        [_col_to_row(mean, lane), _col_to_row(rstd, lane)], axis=0)
+                eps, deterministic, n_segs=1, block_b=1):
+    pid = pl.program_id(0)
+    for i in range(block_b):
+        b = pid * block_b + i             # global element (PRNG seeds)
+        bias_row = _bias_mat(bias_ref, i, n_segs, q_ref.shape[1])
+        ctx = _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref,
+                       i, b, n_heads, attn_rate, deterministic,
+                       save_stats=True)
+        ctx_ref[i] = ctx
+        attn = jnp.dot(ctx, w_ref[...], preferred_element_type=jnp.float32)
+        attn = attn + bo_ref[...].astype(jnp.float32)[None, :]
+        if not deterministic and hidden_rate > 0.0:
+            keep = _keep_mask(seed_ref[0] + HIDDEN_SEED_OFFSET + b,
+                              hidden_rate, attn.shape)
+            attn = jnp.where(keep, attn * (1.0 / (1.0 - hidden_rate)), 0.0)
+        z = x_ref[i].astype(jnp.float32) + attn
+        mean = jnp.mean(z, axis=-1, keepdims=True)
+        zc = z - mean
+        var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        zhat = zc * rstd
+        y = zhat * sc_ref[...].astype(jnp.float32)[None, :] \
+            + lb_ref[...].astype(jnp.float32)[None, :]
+        y_ref[i] = y.astype(y_ref.dtype)
+        lane = ln_ref.shape[-1]
+        ln_ref[i] = jnp.concatenate(
+            [_col_to_row(mean, lane), _col_to_row(rstd, lane)], axis=0)
 
 
 def _row_to_col(row, L):
@@ -193,104 +213,109 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
                 sc_ref, bias_ref, ctx_ref, lse_ref, ln_ref,
                 dy_ref, dq_ref, dk_ref, dv_ref, dx_ref, dw_ref,
                 dbo_ref, dsc_ref, dlb_ref, *, n_heads, attn_rate,
-                hidden_rate, eps, deterministic, n_segs=1):
-    b = pl.program_id(0)
+                hidden_rate, eps, deterministic, n_segs=1, block_b=1):
+    pid = pl.program_id(0)
     H = n_heads
     D = q_ref.shape[-1] // H
-    HD = q_ref.shape[-1]
     Lq = q_ref.shape[1]
     dt = q_ref.dtype
-    bias_row = _bias_mat(bias_ref, n_segs, Lq)
-
-    # ---- recompute z / zhat from the saved ctx --------------------------
-    ctx = ctx_ref[0]
-    attn = jnp.dot(ctx, w_ref[...], preferred_element_type=jnp.float32)
-    attn = attn + bo_ref[...].astype(jnp.float32)[None, :]
-    if not deterministic and hidden_rate > 0.0:
-        keep2 = _keep_mask(seed_ref[0] + HIDDEN_SEED_OFFSET + b,
-                           hidden_rate, attn.shape)
-        inv2 = 1.0 / (1.0 - hidden_rate)
-        attn = jnp.where(keep2, attn * inv2, 0.0)
-    z = x_ref[0].astype(jnp.float32) + attn
-    mean = _row_to_col(ln_ref[0, 0:1, :], Lq)   # [Lq_pad, 1]
-    rstd = _row_to_col(ln_ref[0, 1:2, :], Lq)
-    rstd = jnp.where(rstd == 0.0, 1.0, rstd)    # fully-padded rows
-    zhat = (z - mean) * rstd
-
-    dy = dy_ref[0].astype(jnp.float32)
-    scale = sc_ref[...].astype(jnp.float32)[None, :]
-
-    # ---- LN backward ----------------------------------------------------
-    g = dy * scale
-    gm = jnp.mean(g, axis=-1, keepdims=True)
-    gzm = jnp.mean(g * zhat, axis=-1, keepdims=True)
-    dz = rstd * (g - gm - zhat * gzm)                   # [L, HD] f32
 
     # grid-accumulated parameter grads (sequential TPU grid)
-    @pl.when(b == 0)
+    @pl.when(pid == 0)
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         dbo_ref[...] = jnp.zeros_like(dbo_ref)
         dsc_ref[...] = jnp.zeros_like(dsc_ref)
         dlb_ref[...] = jnp.zeros_like(dlb_ref)
 
-    dsc_ref[...] += jnp.sum(dy * zhat, axis=0)
-    dlb_ref[...] += jnp.sum(dy, axis=0)
+    for i in range(block_b):
+        b = pid * block_b + i             # global element (PRNG seeds)
+        bias_row = _bias_mat(bias_ref, i, n_segs, Lq)
 
-    dx_ref[0] = dz.astype(dx_ref.dtype)                 # residual path
-    dattn = dz
-    if not deterministic and hidden_rate > 0.0:
-        dattn = jnp.where(keep2, dattn * inv2, 0.0)
-    dattn_b = dattn.astype(dt)
-    # dWo = ctx^T @ dattn (contract over L)
-    dw_ref[...] += jax.lax.dot_general(
-        ctx, dattn_b, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbo_ref[...] += jnp.sum(dattn, axis=0)
-    # dctx = dattn @ Wo^T (contract features)
-    dctx = jax.lax.dot_general(dattn_b, w_ref[...], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32).astype(dt)
+        # ---- recompute z / zhat from the saved ctx ----------------------
+        ctx = ctx_ref[i]
+        attn = jnp.dot(ctx, w_ref[...], preferred_element_type=jnp.float32)
+        attn = attn + bo_ref[...].astype(jnp.float32)[None, :]
+        if not deterministic and hidden_rate > 0.0:
+            keep2 = _keep_mask(seed_ref[0] + HIDDEN_SEED_OFFSET + b,
+                               hidden_rate, attn.shape)
+            inv2 = 1.0 / (1.0 - hidden_rate)
+            attn = jnp.where(keep2, attn * inv2, 0.0)
+        z = x_ref[i].astype(jnp.float32) + attn
+        mean = _row_to_col(ln_ref[i, 0:1, :], Lq)   # [Lq_pad, 1]
+        rstd = _row_to_col(ln_ref[i, 1:2, :], Lq)
+        rstd = jnp.where(rstd == 0.0, 1.0, rstd)    # fully-padded rows
+        zhat = (z - mean) * rstd
 
-    # ---- per-head attention backward (ops/attention.py math) -----------
-    for h in range(H):
-        cols = slice(h * D, (h + 1) * D)
-        q = q_ref[0, :, cols]
-        k = k_ref[0, :, cols]
-        v = v_ref[0, :, cols]
-        do = dctx[:, cols]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * (1.0 / math.sqrt(D)) + bias_row
-        if _no_softmax():                 # timing A/B — wrong numerics
-            p = s - _row_to_col(lse_ref[0, h:h + 1, :], Lq)
-        else:
-            p = jnp.exp(s - _row_to_col(lse_ref[0, h:h + 1, :], Lq))
-        if not deterministic and attn_rate > 0.0:
-            keep = _keep_mask(seed_ref[0] + b * H + h, attn_rate, p.shape)
-            inv = 1.0 / (1.0 - attn_rate)
-            pd = jnp.where(keep, p * inv, 0.0)
-            dv_ref[0, :, cols] = jax.lax.dot_general(
-                pd.astype(dt), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-            dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            dp = jnp.where(keep, dpd * inv, 0.0)
-        else:
-            dv_ref[0, :, cols] = jax.lax.dot_general(
-                p.astype(dt), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        row = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - row)).astype(dt)
-        sc = 1.0 / math.sqrt(D)
-        dq_ref[0, :, cols] = (
-            jnp.dot(ds, k, preferred_element_type=jnp.float32)
-            * sc).astype(dq_ref.dtype)
-        dk_ref[0, :, cols] = (
-            jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            * sc).astype(dk_ref.dtype)
+        dy = dy_ref[i].astype(jnp.float32)
+        scale = sc_ref[...].astype(jnp.float32)[None, :]
+
+        # ---- LN backward ------------------------------------------------
+        g = dy * scale
+        gm = jnp.mean(g, axis=-1, keepdims=True)
+        gzm = jnp.mean(g * zhat, axis=-1, keepdims=True)
+        dz = rstd * (g - gm - zhat * gzm)               # [L, HD] f32
+
+        dsc_ref[...] += jnp.sum(dy * zhat, axis=0)
+        dlb_ref[...] += jnp.sum(dy, axis=0)
+
+        dx_ref[i] = dz.astype(dx_ref.dtype)             # residual path
+        dattn = dz
+        if not deterministic and hidden_rate > 0.0:
+            dattn = jnp.where(keep2, dattn * inv2, 0.0)
+        dattn_b = dattn.astype(dt)
+        # dWo = ctx^T @ dattn (contract over L)
+        dw_ref[...] += jax.lax.dot_general(
+            ctx, dattn_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbo_ref[...] += jnp.sum(dattn, axis=0)
+        # dctx = dattn @ Wo^T (contract features)
+        dctx = jax.lax.dot_general(dattn_b, w_ref[...],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dt)
+
+        # ---- per-head attention backward (ops/attention.py math) -------
+        for h in range(H):
+            cols = slice(h * D, (h + 1) * D)
+            q = q_ref[i, :, cols]
+            k = k_ref[i, :, cols]
+            v = v_ref[i, :, cols]
+            do = dctx[:, cols]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (1.0 / math.sqrt(D)) + bias_row
+            if _no_softmax():             # timing A/B — wrong numerics
+                p = s - _row_to_col(lse_ref[i, h:h + 1, :], Lq)
+            else:
+                p = jnp.exp(s - _row_to_col(lse_ref[i, h:h + 1, :], Lq))
+            if not deterministic and attn_rate > 0.0:
+                keep = _keep_mask(seed_ref[0] + b * H + h, attn_rate,
+                                  p.shape)
+                inv = 1.0 / (1.0 - attn_rate)
+                pd = jnp.where(keep, p * inv, 0.0)
+                dv_ref[i, :, cols] = jax.lax.dot_general(
+                    pd.astype(dt), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+                dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                dp = jnp.where(keep, dpd * inv, 0.0)
+            else:
+                dv_ref[i, :, cols] = jax.lax.dot_general(
+                    p.astype(dt), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            row = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - row)).astype(dt)
+            sc = 1.0 / math.sqrt(D)
+            dq_ref[i, :, cols] = (
+                jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                * sc).astype(dq_ref.dtype)
+            dk_ref[i, :, cols] = (
+                jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                * sc).astype(dk_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
@@ -311,6 +336,13 @@ def attention_block(q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
     return y
 
 
+def _resolve_block_b(B: int) -> int:
+    bb = _block_b_env()
+    while bb > 1 and B % bb != 0:
+        bb -= 1
+    return bb
+
+
 def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
                 attn_rate, hidden_rate, eps, deterministic,
                 interpret=False):
@@ -321,6 +353,7 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
     # Stats arrays put L on the LANE dim (compact HBM layout), so their
     # L pads to 128 — cheap, they are tiny.
     S = 1 if bias.ndim == 2 else bias.shape[1]
+    bb = _resolve_block_b(B)
     Lq_pad = -(-L // 8) * 8
     Lk_pad = -(-L // LANE) * LANE
     Lq_lane = -(-Lq_pad // LANE) * LANE
@@ -335,27 +368,28 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
 
     kern = functools.partial(_fwd_kernel, n_heads=H, attn_rate=attn_rate,
                              hidden_rate=hidden_rate, eps=eps,
-                             deterministic=deterministic, n_segs=S)
+                             deterministic=deterministic, n_segs=S,
+                             block_b=bb)
     full = lambda b: (b, 0, 0)
     wspec = pl.BlockSpec((HD, HD), lambda b: (0, 0))
     vec = pl.BlockSpec((HD,), lambda b: (0,))
     y, ctx, lse, ln = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // bb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Lq_pad, HD), full),
-            pl.BlockSpec((1, Lk_pad, HD), full),
-            pl.BlockSpec((1, Lk_pad, HD), full),
-            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
+            pl.BlockSpec((bb, Lk_pad, HD), full),
+            pl.BlockSpec((bb, Lk_pad, HD), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
             wspec, vec, vec, vec,
-            pl.BlockSpec((1, S, Lk_pad), full),
+            pl.BlockSpec((bb, S, Lk_pad), full),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lq_pad, HD), full),
-            pl.BlockSpec((1, Lq_pad, HD), full),
-            pl.BlockSpec((1, H, Lq_lane), full),
-            pl.BlockSpec((1, 2, Lq_lane), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
+            pl.BlockSpec((bb, H, Lq_lane), full),
+            pl.BlockSpec((bb, 2, Lq_lane), full),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq_pad, HD), x.dtype),
@@ -394,6 +428,7 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
     B, L, HD = q.shape
     H = n_heads
     S = 1 if bias.ndim == 2 else bias.shape[1]
+    bb = _resolve_block_b(B)
     Lq_pad = ctx.shape[1]
     Lq_lane = lse.shape[2]
     Lk_pad = -(-L // LANE) * LANE
@@ -408,31 +443,32 @@ def _block_bwd(n_heads, attn_rate, hidden_rate, eps, deterministic,
 
     kern = functools.partial(_bwd_kernel, n_heads=H, attn_rate=attn_rate,
                              hidden_rate=hidden_rate, eps=eps,
-                             deterministic=deterministic, n_segs=S)
+                             deterministic=deterministic, n_segs=S,
+                             block_b=bb)
     full = lambda b: (b, 0, 0)
     acc2 = pl.BlockSpec((HD, HD), lambda b: (0, 0))
     acc1 = pl.BlockSpec((HD,), lambda b: (0,))
     dq, dk, dv, dx, dw, dbo, dsc, dlb = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // bb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Lq_pad, HD), full),
-            pl.BlockSpec((1, Lk_pad, HD), full),
-            pl.BlockSpec((1, Lk_pad, HD), full),
-            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
+            pl.BlockSpec((bb, Lk_pad, HD), full),
+            pl.BlockSpec((bb, Lk_pad, HD), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
             acc2, acc1, acc1,
-            pl.BlockSpec((1, S, Lk_pad), full),
-            pl.BlockSpec((1, Lq_pad, HD), full),
-            pl.BlockSpec((1, H, Lq_lane), full),
-            pl.BlockSpec((1, 2, Lq_lane), full),
-            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((bb, S, Lk_pad), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
+            pl.BlockSpec((bb, H, Lq_lane), full),
+            pl.BlockSpec((bb, 2, Lq_lane), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
         ],
         out_specs=[
-            pl.BlockSpec((1, Lq_pad, HD), full),
-            pl.BlockSpec((1, Lk_pad, HD), full),
-            pl.BlockSpec((1, Lk_pad, HD), full),
-            pl.BlockSpec((1, Lq_pad, HD), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
+            pl.BlockSpec((bb, Lk_pad, HD), full),
+            pl.BlockSpec((bb, Lk_pad, HD), full),
+            pl.BlockSpec((bb, Lq_pad, HD), full),
             acc2, acc1, acc1, acc1,
         ],
         out_shape=[

@@ -223,3 +223,21 @@ class TestPairPackingOnChip:
             params, ids, mask)
         np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
                                    rtol=3e-3, atol=3e-3)
+
+
+class TestBlockBatch:
+    def test_block_b_is_bitwise_invariant(self, monkeypatch):
+        """CZT_ATTN_BLOCK_B regroups grid iterations only: outputs must
+        be IDENTICAL (same per-element math, same PRNG seeds)."""
+        rng = np.random.default_rng(17)
+        args = make_inputs(rng, 4, 3, 40, 32)
+        out1 = AB.attention_block_interpret(*args, jnp.int32(0), n_heads=3)
+        monkeypatch.setenv("CZT_ATTN_BLOCK_B", "2")
+        out2 = AB.attention_block_interpret(*args, jnp.int32(0), n_heads=3)
+        monkeypatch.setenv("CZT_ATTN_BLOCK_B", "4")
+        out4 = AB.attention_block_interpret(*args, jnp.int32(0), n_heads=3)
+        monkeypatch.setenv("CZT_ATTN_BLOCK_B", "3")  # 4 % 3 -> falls to 2
+        out3 = AB.attention_block_interpret(*args, jnp.int32(0), n_heads=3)
+        assert np.array_equal(np.asarray(out1), np.asarray(out2))
+        assert np.array_equal(np.asarray(out1), np.asarray(out4))
+        assert np.array_equal(np.asarray(out1), np.asarray(out3))
