@@ -247,7 +247,11 @@ def _dropout(x, rate, rng, deterministic):
 
 def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
     """One post-LN transformer layer. x: [B, L, D] in compute dtype;
-    bias: [B, L] f32 additive key mask (0 real, -1e30 pad)."""
+    bias: [B, L] f32 additive key mask (0 real, -1e30 pad), [B, S, L/S]
+    f32 segmented masks (pair packing), or [B, L] int32 segment ids
+    (variable-length packing, data/packing.py — attention is
+    block-diagonal per crop; every other op in the layer is row-local
+    so packing changes nothing else)."""
     dt = cfg.compute_dtype
     B, L, D = x.shape
     H, hd = cfg.num_attention_heads, cfg.head_dim
@@ -300,8 +304,11 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
         return _layer_norm(x + h, lp["ffn_ln"]["scale"],
                            lp["ffn_ln"]["bias"], cfg.layer_norm_eps,
                            impl=cfg.ln_impl)
-    use_flash = cfg.attention_impl == "flash" or (
-        cfg.attention_impl == "auto" and jax.default_backend() == "tpu")
+    seg_bias = jnp.issubdtype(bias.dtype, jnp.integer)
+    use_flash = not seg_bias and (
+        cfg.attention_impl == "flash" or (
+            cfg.attention_impl == "auto"
+            and jax.default_backend() == "tpu"))
     if use_flash:
         # the kernel consumes the projection-natural [B, L, H*hd] layout
         # directly — no head transpose copies (see ops/attention.py)
@@ -317,7 +324,14 @@ def _encoder_layer(cfg: BertConfig, x, bias, lp, rngs, deterministic):
         vh = v.reshape(B, L, H, hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd) + bias[:, None, None, :]
+        if seg_bias:
+            # block-diagonal mask from segment ids (packed batches)
+            ok = ((bias[:, :, None] == bias[:, None, :])
+                  & (bias >= 0)[:, None, :])
+            bias4 = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[:, None]
+        else:
+            bias4 = bias[:, None, None, :]
+        scores = scores / math.sqrt(hd) + bias4
         probs = jax.nn.softmax(scores, axis=-1)
         probs = _dropout(probs, rate, attn_rng, deterministic).astype(dt)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
@@ -398,6 +412,15 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
         x = x.reshape(B // 2, 2 * L, -1)
         bias = bias.reshape(B // 2, 2, L)
 
+    x = _run_layers(params, cfg, x, bias, layer_rng, deterministic, remat)
+    return x.reshape(B, L, -1) if pack else x
+
+
+def _run_layers(params, cfg: BertConfig, x, bias, layer_rng,
+                deterministic, remat):
+    """Run the layer stack (scan or Python loop, optional remat) —
+    shared by ``forward`` and ``forward_packed``."""
+
     def body(carry, lp_and_i):
         h = carry
         lp, i = lp_and_i
@@ -435,12 +458,51 @@ def forward(params: Params, cfg: BertConfig, input_ids: jnp.ndarray,
         for i in range(cfg.num_hidden_layers):
             lp = jax.tree.map(lambda a: a[i], params["layers"])
             x, _ = body(x, (lp, jnp.int32(i)))
-        return x.reshape(B, L, -1) if pack else x
+        return x
 
     layer_idx = jnp.arange(cfg.num_hidden_layers)
     x, _ = jax.lax.scan(body, x, (params["layers"], layer_idx),
                         unroll=cfg.scan_unroll)
-    return x.reshape(B, L, -1) if pack else x
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg", "deterministic", "remat"))
+def forward_packed(params: Params, cfg: BertConfig,
+                   input_ids: jnp.ndarray, seg_ids: jnp.ndarray,
+                   pos_ids: jnp.ndarray,
+                   dropout_rng: Optional[jax.Array] = None,
+                   deterministic: bool = True,
+                   remat: bool = False) -> jnp.ndarray:
+    """BERT encoder on a length-packed layout -> hidden [Bp, R, D].
+
+    input_ids/seg_ids/pos_ids: [Bp, R] from data/packing.py — several
+    variable-length crops concatenated per row block. seg_ids carry the
+    global crop index (-1 = padding) and drive the block-diagonal
+    attention mask (fused kernel: ops/attention_block.py int mode; XLA
+    fallback: the seg-compare additive bias in _encoder_layer); pos_ids
+    restart at 0 per crop so position embeddings match the unpacked
+    encoder exactly. Pool with ops.pooling.segment_mean_pool. Packing
+    exists because the recipe's crops average ~80 real tokens against a
+    136-column static pad — see data/packing.py for the why."""
+    dt = cfg.compute_dtype
+    input_ids = input_ids.astype(jnp.int32)
+    seg_ids = seg_ids.astype(jnp.int32)
+    pos_ids = pos_ids.astype(jnp.int32)
+    emb = params["embeddings"]
+
+    x = emb["word"][input_ids] + emb["position"][pos_ids]
+    x = x + emb["token_type"][jnp.zeros_like(input_ids)]
+    x = _layer_norm(x.astype(dt), emb["ln"]["scale"], emb["ln"]["bias"],
+                    cfg.layer_norm_eps, impl=cfg.ln_impl)
+
+    if dropout_rng is not None and not deterministic:
+        emb_rng, layer_rng = jax.random.split(dropout_rng)
+    else:
+        emb_rng = layer_rng = None
+    x = _dropout(x, cfg.hidden_dropout_prob, emb_rng, deterministic)
+
+    return _run_layers(params, cfg, x, seg_ids, layer_rng, deterministic,
+                       remat)
 
 
 def num_params(params: Params) -> int:

@@ -85,12 +85,26 @@ def _col_to_row(col, lane_pad):
 def _bias_mat(bias_ref, i, n_segs, Lq):
     """Additive score bias for element ``i`` of the program's block.
 
-    S=1 (the default, unpacked path): one key-mask row broadcast over
-    every q row — returned as [1, Lk_pad] so the add stays the cheap
-    broadcast it always was. S>1 (pair-packing, docs/PERF.md round-4):
-    segment j's q rows see segment j's key-mask row, whose live span is
-    its own diagonal key block — cross-segment attention is killed by
-    the -1e30 fill the host-side packing wrote there."""
+    Three modes, self-described by the bias dtype/shape:
+
+    * int32 [1, Lk_pad] segment ids (variable-length packing,
+      data/packing.py): one [Lq, Lk_pad] compare builds the
+      block-diagonal mask — row r may attend key c iff they carry the
+      same crop id and c is a real token (id >= 0). Built once per
+      element and reused across all heads; the compare+select is VPU
+      noise next to one head's score dot.
+    * f32, S=1 (the default, unpacked path): one key-mask row broadcast
+      over every q row — returned as [1, Lk_pad] so the add stays the
+      cheap broadcast it always was.
+    * f32, S>1 (pair-packing, docs/PERF.md round-4): segment j's q rows
+      see segment j's key-mask row, whose live span is its own diagonal
+      key block — cross-segment attention is killed by the -1e30 fill
+      the host-side packing wrote there."""
+    if jnp.issubdtype(bias_ref.dtype, jnp.integer):
+        seg = bias_ref[i]                       # [1, Lk_pad] int32
+        q_seg = jnp.transpose(seg)[:Lq]         # [Lq, 1]
+        ok = (q_seg == seg) & (seg >= 0)        # [Lq, Lk_pad]
+        return jnp.where(ok, 0.0, -1e30).astype(jnp.float32)
     if n_segs == 1:
         return bias_ref[i, 0][None, :]
     seg_rows = Lq // n_segs
@@ -103,11 +117,20 @@ def _bias_mat(bias_ref, i, n_segs, Lq):
 def _build_biasp(bias, L, Lk_pad):
     """Host-side additive-bias layout for the kernels.
 
-    [B, L] key mask (legacy) -> [B, 1, Lk_pad] with -1e30 beyond L.
+    int32 [B, L] segment ids (variable-length packing) -> [B, 1, Lk_pad]
+    int32, padded key slots set to -1 (NOT 0 — 0 is a live crop id; a
+    zero pad would let crop 0 attend the padding keys and vice versa).
+    [B, L] f32 key mask (legacy) -> [B, 1, Lk_pad] with -1e30 beyond L.
     [B, S, L_seg] segmented masks (pair packing) -> [B, S, Lk_pad]:
     segment j's row carries its own mask over its diagonal key block
     [j*L_seg, (j+1)*L_seg) and -1e30 everywhere else, so packed batch
     elements cannot attend each other's keys."""
+    if jnp.issubdtype(bias.dtype, jnp.integer):
+        pad = Lk_pad - bias.shape[1]
+        bp = bias.astype(jnp.int32)
+        if pad:
+            bp = jnp.pad(bp, ((0, 0), (0, pad)), constant_values=-1)
+        return bp[:, None, :]
     if bias.ndim == 2:
         bp = _pad_l(bias, Lk_pad, 1) + jnp.where(
             jnp.arange(Lk_pad) < L, 0.0, -1e30)[None, :].astype(jnp.float32)
@@ -326,10 +349,12 @@ def attention_block(q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
     """Fused MHA + out-proj + dropout + residual + LayerNorm.
 
     q,k,v,x: [B, L, H*D]; wo: [H*D, H*D]; bo/scale/ln_bias: [H*D];
-    bias: [B, L] additive key mask, or [B, S, L//S] segmented masks
-    for pair packing (S batch elements per row-block; block-diagonal
-    attention, see BertConfig.attention_pack_pairs); seed: int32
-    scalar. Returns y in x.dtype."""
+    bias: [B, L] additive f32 key mask, or [B, S, L//S] f32 segmented
+    masks for pair packing (S batch elements per row-block;
+    block-diagonal attention, see BertConfig.attention_pack_pairs), or
+    [B, L] int32 segment ids for variable-length packing (row r attends
+    key c iff same id and id >= 0; -1 marks padding — data/packing.py);
+    seed: int32 scalar. Returns y in x.dtype."""
     y, *_ = _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
                         n_heads, attn_rate, hidden_rate, eps,
                         deterministic)

@@ -37,12 +37,39 @@ import jax.numpy as jnp
 import optax
 
 from czechtriever_tpu.models import bert
-from czechtriever_tpu.models.contriever import encode
+from czechtriever_tpu.models.contriever import encode, encode_packed
 from czechtriever_tpu.ops import losses
 from czechtriever_tpu.training.state import InBatchState, MoCoState
 
 Batch = Dict[str, jnp.ndarray]
 Stats = Dict[str, jnp.ndarray]
+
+
+def encode_side(params, mcfg, cfg, mb: Batch, prefix: str, rng,
+                deterministic: bool, normalize: bool) -> jnp.ndarray:
+    """Encode one side (q or k) of a microbatch -> [N, D] embeddings.
+
+    Dispatches on the batch layout: the presence of ``{prefix}_seg``
+    marks a length-packed microbatch (data/packing.py: tokens/seg/pos
+    [Bp, R] plus the [N] real-length vector whose static shape carries
+    the crop count). Packing happens within the microbatch, so batch
+    membership — and the loss at dropout 0 — is identical to the
+    unpacked layout; only the padding FLOPs differ."""
+    if f"{prefix}_seg" in mb:
+        if cfg.pooling != "average":
+            raise ValueError(
+                f"packed batches support pooling='average' only, "
+                f"got {cfg.pooling!r}")
+        n_crops = mb[f"{prefix}_lens"].shape[-1]
+        return encode_packed(
+            params, mcfg, mb[f"{prefix}_tokens"], mb[f"{prefix}_seg"],
+            mb[f"{prefix}_pos"], n_crops, dropout_rng=rng,
+            normalize=normalize, deterministic=deterministic,
+            remat=cfg.remat)
+    return encode(params, mcfg, mb[f"{prefix}_tokens"],
+                  mb[f"{prefix}_mask"], dropout_rng=rng,
+                  deterministic=deterministic, normalize=normalize,
+                  pooling_mode=cfg.pooling, remat=cfg.remat)
 
 
 def global_norm(tree) -> jnp.ndarray:
@@ -119,14 +146,10 @@ def make_inbatch_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
 
         def loss_fn(params, mb, mrng):
             qr, kr = jax.random.split(mrng)
-            q = encode(params, mcfg, mb["q_tokens"], mb["q_mask"],
-                       dropout_rng=qr, deterministic=False,
-                       normalize=cfg.norm_query, pooling_mode=cfg.pooling,
-                       remat=cfg.remat)
-            k = encode(params, mcfg, mb["k_tokens"], mb["k_mask"],
-                       dropout_rng=kr, deterministic=False,
-                       normalize=cfg.norm_doc, pooling_mode=cfg.pooling,
-                       remat=cfg.remat)
+            q = encode_side(params, mcfg, cfg, mb, "q", qr,
+                            deterministic=False, normalize=cfg.norm_query)
+            k = encode_side(params, mcfg, cfg, mb, "k", kr,
+                            deterministic=False, normalize=cfg.norm_doc)
             loss, stats = losses.inbatch_loss(q, k, cfg.temperature,
                                               cfg.label_smoothing)
             if state.init_params is not None:
@@ -184,14 +207,10 @@ def make_inbatch_gradcache_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
 
         def enc_pair(params, mb, mrng):
             qr, kr = jax.random.split(mrng)
-            q = encode(params, mcfg, mb["q_tokens"], mb["q_mask"],
-                       dropout_rng=qr, deterministic=False,
-                       normalize=cfg.norm_query, pooling_mode=cfg.pooling,
-                       remat=cfg.remat)
-            k = encode(params, mcfg, mb["k_tokens"], mb["k_mask"],
-                       dropout_rng=kr, deterministic=False,
-                       normalize=cfg.norm_doc, pooling_mode=cfg.pooling,
-                       remat=cfg.remat)
+            q = encode_side(params, mcfg, cfg, mb, "q", qr,
+                            deterministic=False, normalize=cfg.norm_query)
+            k = encode_side(params, mcfg, cfg, mb, "k", kr,
+                            deterministic=False, normalize=cfg.norm_doc)
             return q, k
 
         # pass 1: representation-only forward
@@ -275,10 +294,8 @@ def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
                 state.params_k, state.params_q)
 
         def loss_fn(params_q, k, queue, mb, qr):
-            q = encode(params_q, mcfg, mb["q_tokens"], mb["q_mask"],
-                       dropout_rng=qr, deterministic=False,
-                       normalize=cfg.norm_query, pooling_mode=cfg.pooling,
-                       remat=cfg.remat)
+            q = encode_side(params_q, mcfg, cfg, mb, "q", qr,
+                            deterministic=False, normalize=cfg.norm_query)
             loss, stats = losses.moco_loss(q, k, queue, cfg.temperature,
                                            cfg.label_smoothing)
             if state.init_params is not None:
@@ -301,10 +318,9 @@ def make_moco_step(cfg, mcfg: bert.BertConfig, tx) -> Callable:
                     params_k, state.params_q)
 
             # key features: stop-grad; dropout per moco_train_mode_encoder_k
-            k = encode(params_k, mcfg, mb["k_tokens"], mb["k_mask"],
-                       dropout_rng=kr, deterministic=not k_dropout,
-                       normalize=cfg.norm_doc, pooling_mode=cfg.pooling,
-                       remat=cfg.remat)
+            k = encode_side(params_k, mcfg, cfg, mb, "k", kr,
+                            deterministic=not k_dropout,
+                            normalize=cfg.norm_doc)
             k = jax.lax.stop_gradient(k)
 
             (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

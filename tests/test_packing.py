@@ -1,0 +1,272 @@
+"""Length-aware packing tests (data/packing.py + the packed encode path).
+
+Ground truth is always the UNPACKED pipeline on the same crops: packing
+is a pure layout change (block-diagonal attention + row-local everything
+else), so per-crop outputs must match to fp-accumulation tolerance and
+the MoCo loss at dropout 0 must be unchanged (the parity discipline from
+docs/PERF.md round-4 pair packing, generalized to variable lengths).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from czechtriever_tpu.data import packing
+from czechtriever_tpu.models import bert
+from czechtriever_tpu.models.contriever import encode, encode_packed
+from czechtriever_tpu.ops import attention_block as AB
+from czechtriever_tpu.ops import pooling
+
+from test_attention_block import composed_reference
+
+
+class TestPacker:
+    def test_partition_and_budget(self):
+        rng = np.random.default_rng(0)
+        lens = rng.integers(5, 21, size=37)
+        blocks = packing.pack_lengths(lens, rows=48)
+        flat = sorted(i for b in blocks for i in b)
+        assert flat == list(range(37))  # every crop exactly once
+        for b in blocks:
+            assert sum(int(lens[i]) for i in b) <= 48
+
+    def test_overlong_crop_raises(self):
+        with pytest.raises(ValueError):
+            packing.pack_lengths([10, 60], rows=48)
+
+    def test_pack_sequences_layout(self):
+        rng = np.random.default_rng(1)
+        seqs = [rng.integers(1, 100, size=n).astype(np.int32)
+                for n in rng.integers(4, 15, size=9)]
+        R = 32
+        tokens, seg, pos, lens = packing.pack_sequences(seqs, R, n_blocks=5)
+        assert tokens.shape == seg.shape == pos.shape == (5, R)
+        assert list(lens) == [len(s) for s in seqs]
+        for i, s in enumerate(seqs):
+            rows = np.argwhere(seg == i)
+            assert len(rows) == len(s)  # every token placed exactly once
+            b = {r[0] for r in rows}
+            assert len(b) == 1  # a crop never spans blocks
+            cols = sorted(r[1] for r in rows)
+            assert cols == list(range(cols[0], cols[0] + len(s)))
+            np.testing.assert_array_equal(
+                tokens[rows[0][0], cols[0]:cols[0] + len(s)], s)
+            np.testing.assert_array_equal(
+                pos[rows[0][0], cols[0]:cols[0] + len(s)],
+                np.arange(len(s)))
+        assert (tokens[seg == -1] == 0).all()
+
+    def test_quantize_blocks(self):
+        assert packing.quantize_blocks(1) == 4
+        assert packing.quantize_blocks(4) == 4
+        assert packing.quantize_blocks(5) == 8
+
+
+def _pack_qkvx(rng, crops_per_block, R, HD):
+    """Build packed q/k/v/x blocks plus the per-crop slices."""
+    nb = len(crops_per_block)
+    packed = [np.zeros((nb, R, HD), np.float32) for _ in range(4)]
+    seg = np.full((nb, R), -1, np.int32)
+    crops = []  # (block, offset, arrays)
+    for b, lens in enumerate(crops_per_block):
+        off = 0
+        for ci, n in enumerate(lens):
+            arrs = [rng.normal(size=(1, n, HD)).astype(np.float32)
+                    for _ in range(4)]
+            for t in range(4):
+                packed[t][b, off:off + n] = arrs[t][0]
+            seg[b, off:off + n] = len(crops)
+            crops.append((b, off, arrs))
+            off += n
+    return [jnp.asarray(p) for p in packed], jnp.asarray(seg), crops
+
+
+class TestKernelSegMode:
+    def test_interpret_matches_per_crop_composed(self):
+        """Packed kernel rows == the unpacked composed reference run on
+        each crop alone: block-diagonal attention + row-local rest."""
+        rng = np.random.default_rng(2)
+        H, D = 3, 8
+        HD = H * D
+        (q, k, v, x), seg, crops = _pack_qkvx(
+            rng, [[10, 9, 7], [12, 11]], R=32, HD=HD)
+        wo = jnp.asarray(rng.normal(size=(HD, HD)) * 0.05, jnp.float32)
+        bo = jnp.asarray(rng.normal(size=(HD,)) * 0.1, jnp.float32)
+        scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(HD,)), jnp.float32)
+        ln_bias = jnp.asarray(0.1 * rng.normal(size=(HD,)), jnp.float32)
+
+        out = AB.attention_block_interpret(
+            q, k, v, x, wo, bo, scale, ln_bias, seg, jnp.int32(0),
+            n_heads=H)
+        for b, off, (cq, ck, cv, cx) in crops:
+            n = cq.shape[1]
+            zeros_bias = jnp.zeros((1, n), jnp.float32)
+            ref = composed_reference(
+                jnp.asarray(cq), jnp.asarray(ck), jnp.asarray(cv),
+                jnp.asarray(cx), wo, bo, scale, ln_bias, zeros_bias,
+                H, 1e-12)
+            np.testing.assert_allclose(
+                np.asarray(out[b, off:off + n]), np.asarray(ref[0]),
+                rtol=3e-4, atol=3e-4)
+
+
+def _random_crops(rng, n, lo, hi, vocab):
+    return [rng.integers(5, vocab, size=int(ln)).astype(np.int32)
+            for ln in rng.integers(lo, hi, size=n)]
+
+
+def _unpacked_batch(seqs, L):
+    from czechtriever_tpu.data.collator import pad_batch
+    return pad_batch(seqs, L)
+
+
+class TestForwardPacked:
+    def _cfg(self, **kw):
+        return bert.BertConfig.tiny(**kw)
+
+    def test_matches_per_crop_encode(self):
+        cfg = self._cfg()
+        rng = np.random.default_rng(3)
+        params = bert.init_params(jax.random.key(0), cfg)
+        seqs = _random_crops(rng, 9, 4, 17, cfg.vocab_size)
+        R = 32
+        tokens, seg, pos, lens = packing.pack_sequences(seqs, R)
+        packed = encode_packed(params, cfg, jnp.asarray(tokens),
+                               jnp.asarray(seg), jnp.asarray(pos),
+                               num_segments=len(seqs), normalize=True)
+        ids, mask = _unpacked_batch(seqs, 24)
+        ref = encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                     normalize=True)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_flash_block_interpret_matches_naive(self, monkeypatch):
+        """forward_packed through the fused-kernel gate (interpret mode)
+        == the XLA seg-bias path."""
+        rng = np.random.default_rng(4)
+        seqs = _random_crops(rng, 6, 4, 15, 1031)
+        tokens, seg, pos, lens = packing.pack_sequences(seqs, 32)
+        args = tuple(jnp.asarray(a) for a in (tokens, seg, pos))
+
+        cfg_naive = self._cfg(attention_impl="naive")
+        params = bert.init_params(jax.random.key(1), cfg_naive)
+        ref = bert.forward_packed(params, cfg_naive, *args)
+
+        def interp(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, H,
+                   attn_rate=0.0, hidden_rate=0.0, eps=1e-12,
+                   deterministic=True):
+            return AB.attention_block_interpret(
+                q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
+                n_heads=H, eps=eps, deterministic=deterministic)
+
+        monkeypatch.setattr(AB, "attention_block", interp)
+        cfg_fused = self._cfg(attention_impl="flash_block")
+        out = bert.forward_packed.__wrapped__(params, cfg_fused, *args)
+        # compare only real-token rows; padding rows are garbage on the
+        # fused path by design (pooling ignores them)
+        real = np.asarray(seg) >= 0
+        np.testing.assert_allclose(np.asarray(out)[real],
+                                   np.asarray(ref)[real],
+                                   rtol=3e-4, atol=3e-4)
+
+    def test_segment_mean_pool_ignores_padding(self):
+        h = jnp.asarray(np.arange(2 * 4 * 3, dtype=np.float32)
+                        .reshape(2, 4, 3))
+        seg = jnp.asarray([[0, 0, 1, -1], [2, -1, -1, -1]], jnp.int32)
+        out = pooling.segment_mean_pool(h, seg, 3)
+        np.testing.assert_allclose(out[0], np.asarray(h[0, :2].mean(0)))
+        np.testing.assert_allclose(out[1], np.asarray(h[0, 2]))
+        np.testing.assert_allclose(out[2], np.asarray(h[1, 0]))
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled Pallas kernels need the real chip")
+class TestOnChipSegMode:
+    def test_forward_and_grads_match_naive(self):
+        """Compiled fused path (seg-id mask in-kernel + custom VJP) vs
+        the XLA seg-bias path: same embeddings, same parameter grads."""
+        rng = np.random.default_rng(6)
+        cfg_n = bert.BertConfig.tiny(attention_impl="naive")
+        cfg_f = bert.BertConfig.tiny(attention_impl="flash_block")
+        params = bert.init_params(jax.random.key(2), cfg_n)
+        seqs = _random_crops(rng, 12, 8, 30, cfg_n.vocab_size)
+        tokens, seg, pos, lens = packing.pack_sequences(seqs, 128)
+        args = tuple(jnp.asarray(a) for a in (tokens, seg, pos))
+        tgt = jnp.asarray(rng.normal(size=(len(seqs), cfg_n.hidden_size)),
+                          jnp.float32)
+
+        def loss(p, cfg):
+            emb = encode_packed(p, cfg, *args, num_segments=len(seqs))
+            return jnp.sum((emb - tgt) ** 2)
+
+        ln, gn = jax.value_and_grad(functools.partial(loss, cfg=cfg_n))(params)
+        lf, gf = jax.value_and_grad(functools.partial(loss, cfg=cfg_f))(params)
+        np.testing.assert_allclose(float(lf), float(ln), rtol=1e-3)
+        flat_n = jax.tree.leaves(gn)
+        flat_f = jax.tree.leaves(gf)
+        for a, b in zip(flat_f, flat_n):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-2, atol=3e-3)
+
+
+class TestMocoPackedParity:
+    def test_loss_matches_unpacked_at_dropout0(self):
+        """Same crops, packed vs unpacked microbatches: identical MoCo
+        loss/accuracy at dropout 0 (packing preserves batch membership)."""
+        from czechtriever_tpu.config import Config
+        from czechtriever_tpu.training import optim, state as statelib, steps
+
+        mcfg = bert.BertConfig.tiny(hidden_dropout_prob=0.0,
+                                    attention_probs_dropout_prob=0.0)
+        cfg = Config(queue_size=64, temperature=0.05, momentum=0.999,
+                     projection_size=mcfg.hidden_size, lr=1e-4,
+                     warmup_steps=2, total_steps=10, scheduler="linear")
+        tx = optim.make_optimizer(cfg)
+        st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
+        step = jax.jit(steps.make_moco_step(cfg, mcfg, tx))
+
+        rng = np.random.default_rng(5)
+        A, B, L, R = 2, 8, 24, 32
+        q_seqs = [_random_crops(rng, B, 4, 17, mcfg.vocab_size)
+                  for _ in range(A)]
+        k_seqs = [_random_crops(rng, B, 4, 17, mcfg.vocab_size)
+                  for _ in range(A)]
+
+        def unpacked(side_seqs):
+            ids = np.stack([_unpacked_batch(s, L)[0] for s in side_seqs])
+            mask = np.stack([_unpacked_batch(s, L)[1] for s in side_seqs])
+            return ids, mask
+
+        qi, qm = unpacked(q_seqs)
+        ki, km = unpacked(k_seqs)
+        batch_u = {"q_tokens": qi, "q_mask": qm,
+                   "k_tokens": ki, "k_mask": km}
+
+        nb = max(packing.blocks_needed([len(s) for s in seqs], R)
+                 for seqs in q_seqs + k_seqs)
+
+        def packed(side_seqs, prefix):
+            t, s, p, ln = zip(*[packing.pack_sequences(seqs, R, nb)
+                                for seqs in side_seqs])
+            return {f"{prefix}_tokens": np.stack(t),
+                    f"{prefix}_seg": np.stack(s),
+                    f"{prefix}_pos": np.stack(p),
+                    f"{prefix}_lens": np.stack(ln)}
+
+        batch_p = {**packed(q_seqs, "q"), **packed(k_seqs, "k")}
+
+        key = jax.random.key(7)
+        _, stats_u = step(st, jax.tree.map(jnp.asarray, batch_u), key)
+        _, stats_p = step(st, jax.tree.map(jnp.asarray, batch_p), key)
+        np.testing.assert_allclose(float(stats_p["loss"]),
+                                   float(stats_u["loss"]),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(stats_p["accuracy"]),
+                                   float(stats_u["accuracy"]), atol=1e-6)
+        np.testing.assert_allclose(float(stats_p["stdq"]),
+                                   float(stats_u["stdq"]),
+                                   rtol=2e-4, atol=2e-5)
