@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     # PQ compression (src/index.py:17-21): 0 = exact flat inner product
     p.add_argument("--n_subquantizers", type=int, default=0)
     p.add_argument("--n_bits", type=int, default=8)
+    # exact re-rank over the compressed candidates (FAISS
+    # IndexRefineFlat analogue, retrieval/refine.py): re-score the top
+    # refine_factor*k ADC candidates against bf16 originals kept on
+    # the host. 0 = off. Only meaningful for pq/ivfpq.
+    p.add_argument("--refine_factor", type=int, default=0)
     # inverted-file variant (beyond the reference's flat PQ): probe only
     # the nprobe closest of nlist coarse clusters
     p.add_argument("--index_type", choices=("auto", "flat", "pq", "ivfpq"),
@@ -75,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     # default np/nlist the pooled sweep measures no recall gap to
     # close (retrieval/ivf.py docstring)
     p.add_argument("--adaptive_nprobe", action="store_true")
+    # deprecated no-op: adaptive nprobe defaulted ON for one round;
+    # kept one release so round-4 invocations don't break loudly
+    p.add_argument("--no_adaptive_nprobe", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--target_probe_lists", type=int, default=None)
     p.add_argument("--save_or_load_index", action="store_true",
                    help="serialize the index beside the embeddings, or "
@@ -167,19 +176,30 @@ def main(argv=None) -> None:
     itype = args.index_type
     if itype == "auto":
         itype = "pq" if args.n_subquantizers > 0 else "flat"
+    # all three engines shard over the mesh data axis when more than
+    # one device is attached (flat: row shards; pq: code-row shards;
+    # ivfpq: inverted-list shards) — corpus capacity and scan work
+    # scale with device count
+    import jax as _jax
+    from czechtriever_tpu.parallel import mesh as meshlib
+    mesh = meshlib.make_mesh() if _jax.device_count() > 1 else None
     if itype == "ivfpq":
         index = IVFPQIndex(mcfg.hidden_size,
                            args.n_subquantizers or mcfg.hidden_size // 8,
                            args.n_bits, nlist=args.nlist,
                            nprobe=args.nprobe,
                            adaptive_nprobe=args.adaptive_nprobe,
-                           target_probe_lists=args.target_probe_lists)
+                           target_probe_lists=args.target_probe_lists,
+                           mesh=mesh)
     elif itype == "pq":
         index = PQIndex(mcfg.hidden_size,
                         args.n_subquantizers or mcfg.hidden_size // 8,
-                        args.n_bits)
+                        args.n_bits, mesh=mesh)
     else:
-        index = FlatIndex(mcfg.hidden_size)
+        index = FlatIndex(mcfg.hidden_size, mesh=mesh)
+    if args.refine_factor and itype in ("pq", "ivfpq"):
+        from czechtriever_tpu.retrieval.refine import RefinedIndex
+        index = RefinedIndex(index, refine_factor=args.refine_factor)
 
     emb_files = sorted(glob.glob(args.passages_embeddings))
     if not emb_files:

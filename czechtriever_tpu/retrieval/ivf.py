@@ -68,8 +68,10 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from czechtriever_tpu.ops import kmeans as kmeans_ops
+from czechtriever_tpu.parallel.mesh import DATA_AXIS
 from czechtriever_tpu.retrieval import pq as pq_mod
 
 NEG_INF = float("-inf")
@@ -90,13 +92,12 @@ def coarse_probe(queries: jnp.ndarray, centroids: jnp.ndarray,
     return probe_i.astype(jnp.int32), ip_t
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
-def union_adc_search(queries: jnp.ndarray, ip_t: jnp.ndarray,
-                     codes: jnp.ndarray, ids_map: jnp.ndarray,
-                     home_map: jnp.ndarray, list_sizes: jnp.ndarray,
-                     codebooks: jnp.ndarray, union_lists: jnp.ndarray,
-                     n_union: jnp.ndarray, k: int, block: int = 8192
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _union_core(queries: jnp.ndarray, ip_t: jnp.ndarray,
+                codes: jnp.ndarray, ids_map: jnp.ndarray,
+                home_map: jnp.ndarray, list_sizes: jnp.ndarray,
+                codebooks: jnp.ndarray, union_lists: jnp.ndarray,
+                n_union: jnp.ndarray, k: int, block: int = 8192
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score the union of probed lists for every query with the
     lane-vectorized blocked ADC (see module docstring).
 
@@ -165,6 +166,55 @@ def union_adc_search(queries: jnp.ndarray, ip_t: jnp.ndarray,
     return v, i
 
 
+union_adc_search = jax.jit(_union_core, static_argnames=("k", "block"))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "mesh"))
+def sharded_union_adc_search(queries, ip_t, codes, ids_map, home_map,
+                             list_sizes, codebooks, local_unions,
+                             local_counts, k: int, mesh: Mesh,
+                             block: int = 8192
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Union ADC over inverted lists LIST-sharded on the mesh ``data``
+    axis. The host splits the batch union by shard ownership
+    (IVFPQIndex._split_union), so each device gathers and scores only
+    the probed lists it owns — compute AND list storage scale with
+    device count (the flat engine's structure, adapted to list
+    sharding). ip_t / codebooks stay replicated: home_map entries are
+    GLOBAL list ids, so the base-score lookup needs the full [nlist, Q]
+    table (nlist*Q f32 is small next to the code tensor). Local top-k
+    candidates all-gather over ICI and merge with one final top-k.
+
+    codes [ws*L, C, m] (+ids/home [ws*L, C], sizes [ws*L]) sharded on
+    axis 0; local_unions [ws, U_loc] int32 LOCAL list indices per shard
+    (padding masked by local_counts [ws])."""
+    ws = mesh.shape[DATA_AXIS]
+    C = codes.shape[1]
+    U_loc = local_unions.shape[1]
+    k_loc = min(k, U_loc * C)
+
+    def local(q, ipt, c, im, hm, sz, cb, ul, nu):
+        v, i = _union_core(q, ipt, c, im, hm, sz, cb, ul[0], nu[0],
+                           k_loc, block)
+        vg = jax.lax.all_gather(v, DATA_AXIS)   # [ws, Q, k_loc]
+        ig = jax.lax.all_gather(i, DATA_AXIS)
+        Q = q.shape[0]
+        vg = jnp.swapaxes(vg, 0, 1).reshape(Q, ws * k_loc)
+        ig = jnp.swapaxes(ig, 0, 1).reshape(Q, ws * k_loc)
+        fv, sel = jax.lax.top_k(vg, min(k, ws * k_loc))
+        return fv, jnp.take_along_axis(ig, sel, axis=1)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(), P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, ip_t, codes, ids_map, home_map, list_sizes, codebooks,
+      local_unions, local_counts)
+
+
 class IVFPQIndex:
     """Inverted-file PQ index with the same external contract as
     FlatIndex/PQIndex (index_data / search_knn / serialize)."""
@@ -173,8 +223,11 @@ class IVFPQIndex:
                  n_bits: int = 8, nlist: int = 256, nprobe: int = 8,
                  train_iters: int = 20, seed: int = 0,
                  query_batch: int = 1024, adaptive_nprobe: bool = False,
-                 target_probe_lists: Optional[int] = None):
+                 target_probe_lists: Optional[int] = None,
+                 mesh: Optional[Mesh] = None):
         assert vector_sz % n_subquantizers == 0
+        self.mesh = mesh
+        self._nlist_pad = None  # set by _build (nlist padded to the mesh)
         self.vector_sz = vector_sz
         self.m = n_subquantizers
         self.n_bits = n_bits
@@ -321,10 +374,56 @@ class IVFPQIndex:
                 if pos < len(rows_group):  # pragma: no cover — impossible:
                     raise RuntimeError("no spill capacity left")  # nlist*C>=N
 
-        self._packed = (jnp.asarray(packed_codes), jnp.asarray(ids_map),
-                        jnp.asarray(home_map),
-                        jnp.asarray(fill.astype(np.int32)))
+        if self.mesh is not None:
+            # LIST-shard the packed tensors over the data axis: each
+            # device stores and scans only the lists it owns (see
+            # sharded_union_adc_search). nlist pads up to the shard
+            # count with empty lists (size 0 -> fully masked).
+            ws = self.mesh.shape[DATA_AXIS]
+            pad_l = (-self.nlist) % ws
+            if pad_l:
+                packed_codes = np.concatenate(
+                    [packed_codes,
+                     np.zeros((pad_l, C, self.m), np.uint8)])
+                ids_map = np.concatenate(
+                    [ids_map, np.zeros((pad_l, C), np.int32)])
+                home_map = np.concatenate(
+                    [home_map, np.zeros((pad_l, C), np.int32)])
+                fill = np.concatenate([fill, np.zeros(pad_l, np.int64)])
+            self._nlist_pad = self.nlist + pad_l
+            sh1 = NamedSharding(self.mesh, P(DATA_AXIS))
+            sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+            sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+            self._packed = (jax.device_put(packed_codes, sh3),
+                            jax.device_put(ids_map, sh2),
+                            jax.device_put(home_map, sh2),
+                            jax.device_put(fill.astype(np.int32), sh1))
+        else:
+            self._nlist_pad = self.nlist
+            self._packed = (jnp.asarray(packed_codes),
+                            jnp.asarray(ids_map), jnp.asarray(home_map),
+                            jnp.asarray(fill.astype(np.int32)))
         return self._packed
+
+    def _split_union(self, union: np.ndarray):
+        """Split the batch's global union by shard ownership -> LOCAL
+        list indices [ws, U_loc] (power-of-two padded to keep the jit
+        shape count small) + per-shard counts [ws]."""
+        ws = self.mesh.shape[DATA_AXIS]
+        L0 = self._nlist_pad // ws
+        shards = [union[(union >= s * L0) & (union < (s + 1) * L0)] - s * L0
+                  for s in range(ws)]
+        u_max = max(len(sh) for sh in shards)
+        u_pad = 1
+        while u_pad < max(u_max, 1):
+            u_pad *= 2
+        u_pad = min(u_pad, L0)
+        ul = np.zeros((ws, u_pad), np.int32)
+        cnt = np.zeros(ws, np.int32)
+        for si, loc in enumerate(shards):
+            ul[si, :len(loc)] = loc
+            cnt[si] = len(loc)
+        return ul, cnt
 
     def _effective_nprobe(self, n_real: int) -> int:
         """Per-query probe count for a batch of ``n_real`` queries: at
@@ -339,17 +438,18 @@ class IVFPQIndex:
         return np_eff
 
     # -- search ----------------------------------------------------------------
-    def search_knn(self, query_vectors: np.ndarray, top_docs: int,
-                   index_batch_size: Optional[int] = None
-                   ) -> List[Tuple[List[str], List[float]]]:
+    def search_rows(self, query_vectors: np.ndarray, k: int,
+                    index_batch_size: Optional[int] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw top-k: (scores [Q, k'], internal row ids [Q, k']) with
+        k' <= k; -inf scores mark slots beyond the probed candidate
+        count (the refine stage and search_knn both drop them)."""
         codes, ids_map, home_map, sizes = self._build()
         bs = index_batch_size or self.query_batch
         queries = np.asarray(query_vectors, np.float32)
         nq = len(queries)
-        k = min(top_docs, self.ntotal)
-        out: List[Tuple[List[str], List[float]]] = []
-        id_arr = np.asarray([str(x) for x in self.index_id_to_db_id],
-                            dtype=object)
+        k = min(k, self.ntotal)
+        vs, is_ = [], []
         cents = jnp.asarray(self.centroids)
         cbs_dev = jnp.asarray(self.codebooks)
         for s in range(0, nq, bs):
@@ -369,22 +469,42 @@ class IVFPQIndex:
             while u_pad < len(union):
                 u_pad *= 2
             u_pad = min(u_pad, self.nlist)
-            ul = np.zeros(u_pad, np.int32)
-            ul[:len(union)] = union
-            v, i = union_adc_search(
-                qd, ip_t, codes, ids_map, home_map, sizes, cbs_dev,
-                jnp.asarray(ul), jnp.asarray(len(union), jnp.int32), k)
-            v = np.asarray(v)[:n_real]
-            i = np.asarray(i)[:n_real]
-            ids_block = id_arr[i]
-            for row_ids, row_v in zip(ids_block, v):
-                # drop top-k padding (probed union held < k real
-                # candidates): real inner products are finite, so -inf
-                # marks exactly the carry-init slots (FAISS pads these
-                # with id -1; we truncate instead)
-                n_ok = int(np.sum(np.isfinite(row_v)))
-                out.append((list(row_ids[:n_ok]),
-                            row_v[:n_ok].tolist()))
+            if self.mesh is not None:
+                lul, cnt = self._split_union(union)
+                v, i = sharded_union_adc_search(
+                    qd, ip_t, codes, ids_map, home_map, sizes, cbs_dev,
+                    jnp.asarray(lul), jnp.asarray(cnt), k, self.mesh)
+            else:
+                ul = np.zeros(u_pad, np.int32)
+                ul[:len(union)] = union
+                v, i = union_adc_search(
+                    qd, ip_t, codes, ids_map, home_map, sizes, cbs_dev,
+                    jnp.asarray(ul), jnp.asarray(len(union), jnp.int32),
+                    k)
+            vs.append(np.asarray(v)[:n_real])
+            is_.append(np.asarray(i)[:n_real])
+        # per-call k' can differ across query batches (k' = min(k,
+        # probed capacity)); right-pad with -inf to the widest
+        kw = max(a.shape[1] for a in vs)
+        vs = [np.pad(a, ((0, 0), (0, kw - a.shape[1])),
+                     constant_values=NEG_INF) for a in vs]
+        is_ = [np.pad(a, ((0, 0), (0, kw - a.shape[1]))) for a in is_]
+        return np.concatenate(vs), np.concatenate(is_)
+
+    def search_knn(self, query_vectors: np.ndarray, top_docs: int,
+                   index_batch_size: Optional[int] = None
+                   ) -> List[Tuple[List[str], List[float]]]:
+        v, i = self.search_rows(query_vectors, top_docs, index_batch_size)
+        id_arr = np.asarray([str(x) for x in self.index_id_to_db_id],
+                            dtype=object)
+        out: List[Tuple[List[str], List[float]]] = []
+        for row_ids, row_v in zip(id_arr[i], v):
+            # drop top-k padding (probed union held < k real
+            # candidates): real inner products are finite, so -inf
+            # marks exactly the carry-init slots (FAISS pads these
+            # with id -1; we truncate instead)
+            n_ok = int(np.sum(np.isfinite(row_v)))
+            out.append((list(row_ids[:n_ok]), row_v[:n_ok].tolist()))
         return out
 
     # -- persistence -----------------------------------------------------------

@@ -27,8 +27,10 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from czechtriever_tpu.ops import kmeans as kmeans_ops
+from czechtriever_tpu.parallel.mesh import DATA_AXIS
 
 NEG_INF = float("-inf")
 
@@ -52,12 +54,14 @@ def encode_codes(data: jnp.ndarray, codebooks: jnp.ndarray, ksub: int
     return codes.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
-def adc_search(queries: jnp.ndarray, codes: jnp.ndarray,
-               codebooks: jnp.ndarray, k: int, n_valid=None,
-               block: int = 8192) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _adc_core(queries: jnp.ndarray, codes: jnp.ndarray,
+              codebooks: jnp.ndarray, k: int, n_valid=None,
+              block: int = 8192, row_offset=0
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ADC top-k: queries [Q, D], codes [N, m] uint8,
-    codebooks [m, ksub, dsub]."""
+    codebooks [m, ksub, dsub]. ``row_offset`` shifts the returned row
+    ids (sharded search: each device scans its own row shard but must
+    report global ids)."""
     Q, D = queries.shape
     N, m = codes.shape
     ksub = codebooks.shape[1]
@@ -93,7 +97,48 @@ def adc_search(queries: jnp.ndarray, codes: jnp.ndarray,
     (v, i), _ = jax.lax.scan(
         body, init,
         (code_blocks, jnp.arange(code_blocks.shape[0], dtype=jnp.int32)))
-    return v, i
+    return v, i + row_offset
+
+
+adc_search = jax.jit(_adc_core, static_argnames=("k", "block"))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "mesh"))
+def sharded_adc_search(queries, codes, codebooks, n_valid, k: int,
+                       mesh: Optional[Mesh], block: int = 8192
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ADC top-k over codes row-sharded on the mesh ``data`` axis — the
+    exact structure of the sharded flat engine (retrieval/flat.py
+    _sharded_search): per-shard blocked ADC scan with global-id offsets,
+    all-gather of the k local candidates over ICI, final top-k merge.
+    Exactness vs the single-device scan is pinned in tests/test_pq.py.
+    codes [ws*rows, m]; n_valid: global count of real rows."""
+    if mesh is None:
+        return _adc_core(queries, codes, codebooks, k, n_valid, block)
+    ws = mesh.shape[DATA_AXIS]
+    rows = codes.shape[0] // ws
+    k = min(k, rows)
+
+    def local_search(q, c_shard, cb, nv):
+        r = jax.lax.axis_index(DATA_AXIS) * rows
+        local_valid = jnp.clip(nv[0] - r, 0, rows)
+        v, i = _adc_core(q, c_shard, cb, k, n_valid=local_valid,
+                         block=block, row_offset=r)
+        vg = jax.lax.all_gather(v, DATA_AXIS)   # [ws, Q, k]
+        ig = jax.lax.all_gather(i, DATA_AXIS)
+        Q = q.shape[0]
+        vg = jnp.swapaxes(vg, 0, 1).reshape(Q, ws * k)
+        ig = jnp.swapaxes(ig, 0, 1).reshape(Q, ws * k)
+        fv, sel = jax.lax.top_k(vg, k)
+        return fv, jnp.take_along_axis(ig, sel, axis=1)
+
+    return jax.shard_map(
+        local_search, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, codes, codebooks,
+      jnp.asarray(n_valid, jnp.int32).reshape(1))
 
 
 class PQIndex:
@@ -101,9 +146,10 @@ class PQIndex:
 
     def __init__(self, vector_sz: int, n_subquantizers: int, n_bits: int = 8,
                  kmeans_iters: int = 25, seed: int = 0,
-                 query_batch: int = 2048):
+                 query_batch: int = 2048, mesh: Optional[Mesh] = None):
         assert vector_sz % n_subquantizers == 0
         assert n_bits <= 8, "codes are stored as uint8"
+        self.mesh = mesh
         self.vector_sz = vector_sz
         self.m = n_subquantizers
         self.n_bits = n_bits
@@ -154,32 +200,55 @@ class PQIndex:
                 raise ValueError("index is empty")
             all_codes = np.concatenate(self._code_chunks, axis=0)
             self._code_chunks = [all_codes]
-            self._codes = jnp.asarray(all_codes)
+            if self.mesh is not None:
+                # host-pad to a per-shard block multiple and row-shard
+                # over the data axis (the flat engine's layout,
+                # retrieval/flat.py _build — same OOM-safety reasoning)
+                ws = self.mesh.shape[DATA_AXIS]
+                pad = (-all_codes.shape[0]) % (ws * 8192)
+                if pad:
+                    all_codes = np.concatenate(
+                        [all_codes,
+                         np.zeros((pad, self.m), np.uint8)], axis=0)
+                self._codes = jax.device_put(
+                    all_codes,
+                    NamedSharding(self.mesh, P(DATA_AXIS, None)))
+            else:
+                self._codes = jnp.asarray(all_codes)
         return self._codes
 
-    def search_knn(self, query_vectors: np.ndarray, top_docs: int,
-                   index_batch_size: Optional[int] = None
-                   ) -> List[Tuple[List[str], List[float]]]:
+    def search_rows(self, query_vectors: np.ndarray, k: int,
+                    index_batch_size: Optional[int] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw top-k: (scores [Q, k], internal row ids [Q, k]). The
+        refine stage (retrieval/refine.py) consumes rows, not str ids."""
         codes = self._build()
         bs = index_batch_size or self.query_batch
         queries = np.asarray(query_vectors, np.float32)
         nq = len(queries)
-        k = min(top_docs, self.ntotal)
-        out: List[Tuple[List[str], List[float]]] = []
-        id_arr = np.asarray([str(x) for x in self.index_id_to_db_id],
-                            dtype=object)
+        k = min(k, self.ntotal)
+        vs, is_ = [], []
         for s in range(0, nq, bs):
             q = queries[s:s + bs]
             n_real = len(q)
             if n_real < bs and nq > bs:
                 q = np.concatenate(
                     [q, np.zeros((bs - n_real, q.shape[1]), np.float32)])
-            v, i = adc_search(jnp.asarray(q), codes, self.codebooks, k,
-                              n_valid=self.ntotal)
-            ids_block = id_arr[np.asarray(i)[:n_real]]
-            for row_ids, row_v in zip(ids_block, np.asarray(v)[:n_real]):
-                out.append((list(row_ids), row_v.tolist()))
-        return out
+            v, i = sharded_adc_search(jnp.asarray(q), codes,
+                                      self.codebooks, self.ntotal, k,
+                                      self.mesh)
+            vs.append(np.asarray(v)[:n_real])
+            is_.append(np.asarray(i)[:n_real])
+        return np.concatenate(vs), np.concatenate(is_)
+
+    def search_knn(self, query_vectors: np.ndarray, top_docs: int,
+                   index_batch_size: Optional[int] = None
+                   ) -> List[Tuple[List[str], List[float]]]:
+        v, i = self.search_rows(query_vectors, top_docs, index_batch_size)
+        id_arr = np.asarray([str(x) for x in self.index_id_to_db_id],
+                            dtype=object)
+        return [(list(row_ids), row_v.tolist())
+                for row_ids, row_v in zip(id_arr[i], v)]
 
     def reconstruct(self, idx: np.ndarray) -> np.ndarray:
         """Decode vectors from codes (for diagnostics)."""

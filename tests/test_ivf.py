@@ -267,3 +267,31 @@ class TestIVFPQ:
                 np.testing.assert_allclose(score, exact[int(doc_id)],
                                            rtol=1e-4, atol=1e-4)
         assert spilled > 0  # the skew actually exercised the spill path
+
+
+class TestShardedIVF:
+    def test_sharded_matches_single_device(self):
+        """List-sharded union ADC over the 8-device CPU mesh == the
+        single-device engine: same probed lists (coarse probe is
+        replicated), same candidate scores, same final ids."""
+        from czechtriever_tpu.parallel import mesh as meshlib
+        rng = np.random.default_rng(4)
+        n, d, m_sub, nlist = 4000, 32, 4, 64
+        # clustered corpus so the inverted lists are meaningful
+        centers = rng.normal(size=(16, d)).astype(np.float32) * 4
+        c = (centers[rng.integers(0, 16, n)]
+             + rng.normal(size=(n, d)).astype(np.float32))
+        ids = [f"p{i}" for i in range(n)]
+        kw = dict(n_bits=8, nlist=nlist, nprobe=8, train_iters=8)
+        single = IVFPQIndex(d, m_sub, **kw)
+        single.index_data(ids, c)
+        mesh = meshlib.make_mesh()  # 8 cpu devices
+        shard = IVFPQIndex(d, m_sub, **kw, mesh=mesh)
+        shard.index_data(ids, c)
+        q = (centers[rng.integers(0, 16, 11)]
+             + rng.normal(size=(11, d)).astype(np.float32))
+        res_s = single.search_knn(q, 12)
+        res_m = shard.search_knn(q, 12)
+        for (ids_s, v_s), (ids_m, v_m) in zip(res_s, res_m):
+            assert ids_s == ids_m
+            np.testing.assert_allclose(v_m, v_s, rtol=1e-5, atol=1e-5)

@@ -116,3 +116,83 @@ class TestPQ:
         v, i = adc_search(jnp.array(q), idx._build(), idx.codebooks, 5,
                           n_valid=50, block=64)
         assert np.asarray(i).max() < 50
+
+
+class TestShardedPQ:
+    def test_sharded_matches_single_device(self):
+        """Row-sharded ADC over the 8-device CPU mesh == the
+        single-device scan: identical ids, scores to fp tolerance
+        (round-5 ask #3 — the compressed engines must scale past one
+        chip like the flat engine does)."""
+        from czechtriever_tpu.parallel import mesh as meshlib
+        rng = np.random.default_rng(3)
+        n, d, m_sub = 3000, 32, 4
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        ids = [f"p{i}" for i in range(n)]
+        single = PQIndex(d, m_sub, 8, kmeans_iters=10)
+        single.index_data(ids, c)
+        mesh = meshlib.make_mesh()  # 8 cpu devices
+        shard = PQIndex(d, m_sub, 8, kmeans_iters=10, mesh=mesh)
+        shard.index_data(ids, c)
+        q = rng.normal(size=(9, d)).astype(np.float32)
+        res_s = single.search_knn(q, 15)
+        res_m = shard.search_knn(q, 15)
+        for (ids_s, v_s), (ids_m, v_m) in zip(res_s, res_m):
+            assert ids_s == ids_m
+            np.testing.assert_allclose(v_m, v_s, rtol=1e-5, atol=1e-5)
+
+
+class TestRefinedIndex:
+    def test_refine_recovers_exact_topk(self):
+        """PQ top-k is quantization-limited; refining the top-R
+        candidates against bf16 originals must recover (near-)exact
+        top-k whenever the true neighbors are in the candidate set."""
+        from czechtriever_tpu.retrieval.refine import RefinedIndex
+        rng = np.random.default_rng(7)
+        n, d = 3000, 32
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        ids = [f"p{i}" for i in range(n)]
+        base = PQIndex(d, 4, 8, kmeans_iters=10)
+        ref = RefinedIndex(base, refine_factor=40)
+        ref.index_data(ids, c)
+        q = rng.normal(size=(7, d)).astype(np.float32)
+        exact = np.argsort(-(q @ c.T), axis=1)[:, :5]
+        res = ref.search_knn(q, 5)
+        hits = sum(len(set(rids) & {f"p{j}" for j in exact[r]})
+                   for r, (rids, _) in enumerate(res))
+        # plain PQ at m=4 on random data gets far fewer than 35/35
+        vb, ib = base.search_rows(q, 5)
+        base_hits = sum(len(set(ib[r]) & set(exact[r]))
+                        for r in range(len(q)))
+        assert hits >= 30, (hits, base_hits)
+        assert hits > base_hits  # refinement must beat the raw ADC
+        # refined scores are exact (bf16-rounded) inner products
+        v, i = ref.search_rows(q, 5)
+        true = np.take_along_axis(q @ c.T, i, axis=1)
+        np.testing.assert_allclose(v, true, rtol=2e-2, atol=2e-2)
+
+    def test_memory_accounting_includes_originals(self):
+        from czechtriever_tpu.retrieval.refine import RefinedIndex
+        rng = np.random.default_rng(8)
+        c = rng.normal(size=(600, 32)).astype(np.float32)
+        base = PQIndex(32, 4, 8, kmeans_iters=5)
+        ref = RefinedIndex(base, refine_factor=4)
+        ref.index_data([str(i) for i in range(600)], c)
+        assert ref.memory_bytes() >= base.memory_bytes() + 600 * 32 * 2
+
+    def test_serialize_roundtrip(self, tmp_path):
+        from czechtriever_tpu.retrieval.refine import RefinedIndex
+        rng = np.random.default_rng(9)
+        c = rng.normal(size=(500, 32)).astype(np.float32)
+        ref = RefinedIndex(PQIndex(32, 4, 8, kmeans_iters=5),
+                           refine_factor=8)
+        ref.index_data([str(i) for i in range(500)], c)
+        q = rng.normal(size=(3, 32)).astype(np.float32)
+        before = ref.search_knn(q, 5)
+        ref.serialize(str(tmp_path))
+        ref2 = RefinedIndex(PQIndex(32, 4, 8, kmeans_iters=5))
+        ref2.deserialize_from(str(tmp_path))
+        after = ref2.search_knn(q, 5)
+        for (i1, v1), (i2, v2) in zip(before, after):
+            assert i1 == i2
+            np.testing.assert_allclose(v1, v2, rtol=1e-3)
