@@ -148,9 +148,9 @@ def main() -> None:
                              qps=round(qps, 1), ms=round(ms, 2),
                              recall10=r10, recall100=r100))
             print(rows[-1], file=sys.stderr)
-        # adaptive nprobe (round-4 default): union targets nlist//8
-        # lists, so small-Q batches spend the pruning headroom on
-        # top-10 recall instead of scanning <1% of lists
+        # adaptive nprobe (opt-in; measured here for comparison): union
+        # targets nlist//8 lists, so small-Q batches spend the pruning
+        # headroom on top-10 recall instead of scanning <1% of lists
         ivf.nprobe = nprobes[0]
         ivf.adaptive_nprobe = True
         np_eff = ivf._effective_nprobe(Q)
@@ -160,6 +160,32 @@ def main() -> None:
                          qps=round(qps, 1), ms=round(ms, 2),
                          recall10=r10, recall100=r100))
         print(rows[-1], file=sys.stderr)
+        ivf.adaptive_nprobe = False
+        ivf.nprobe = nprobes[0]
+
+        # exact re-rank stage (retrieval/refine.py, round-5 stretch):
+        # k=10, R = rf*10 ADC candidates re-scored against bf16
+        # originals on the host. Compare at k=10 against plain PQ at
+        # k=10 (the honest QPS denominator); the memory row includes
+        # the original store per BASELINE.md equal-memory discipline.
+        from czechtriever_tpu.retrieval.refine import RefinedIndex
+        _, qps10, _ = timed(pq, qb, 10, args.reps)
+        r10b, _ = recall_at_Q(pq, pool, truth_pool, Q, 10)
+        rows.append(dict(engine="pq(k=10)", Q=Q, qps=round(qps10, 1),
+                         recall10=r10b))
+        print(rows[-1], file=sys.stderr)
+        for rf in (10,):
+            for bname, base in (("pq", pq), (f"ivfpq(np={nprobes[0]})",
+                                             ivf)):
+                ref = RefinedIndex(base, refine_factor=rf)
+                ref.set_originals(corpus)
+                _, qps, ms = timed(ref, qb, 10, args.reps)
+                r10, _ = recall_at_Q(ref, pool, truth_pool, Q, 10)
+                rows.append(dict(
+                    engine=f"refine({bname}, R={rf * 10})", Q=Q,
+                    qps=round(qps, 1), ms=round(ms, 2), recall10=r10,
+                    mem_mb=round(ref.memory_bytes() / 1e6, 1)))
+                print(rows[-1], file=sys.stderr)
 
     print(json.dumps({"n": args.n, "d": args.d, "k": args.k,
                       "m": args.m, "nlist": args.nlist, "rows": rows}))
