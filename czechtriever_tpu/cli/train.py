@@ -320,6 +320,7 @@ def main(argv=None) -> None:
                 start, trainer.update_freq, trainer.global_micro)
     trainer.fit(batcher.epoch, on_epoch_start=on_epoch_start)
     trainer.save("final")
+    ckpt.wait_pending()  # commit the final save before exiting
     logger.info("Done at step %d", int(np.asarray(trainer.state.step)))
 
 

@@ -227,6 +227,24 @@ class Config:
     # elementwise only — the default sweet spot on v5e)
     remat: object = False
     donate_state: bool = True
+    # length-aware packing (data/packing.py): > 0 packs each
+    # microbatch's variable-length crops into row blocks of this many
+    # tokens before device transfer — at the recipe crop distribution
+    # (mean ~80 real tokens vs the 136-column static pad) this turns
+    # the ~40% padding FLOPs into throughput (bench.py --workload
+    # packed). 0 = off (the unpacked static-bucket pipeline). Packing
+    # keeps batch membership, so the loss at dropout 0 is unchanged;
+    # fp accumulation order and dropout streams differ (see README
+    # numerics note). Rows must be a multiple of 8; lane-multiple
+    # (128/256/384/512) recommended
+    pack_rows: int = 0
+    # overlap checkpoint commits with training: the step loop pays only
+    # the device->host snapshot (~7 s on the tunneled chip); orbax's
+    # background thread does the ~21 s file commit and `latest` flips
+    # only once the commit is confirmed (utils/checkpoint.py). The
+    # reference's torch.save blocks identically, so False is parity and
+    # True is the TPU-first beat
+    async_save: bool = True
     # run the host->device batch transfer one optimizer step ahead in a
     # background thread (Trainer.fit): overlaps H2D + dispatch latency
     # with device compute — the 362-vs-526 pairs/s e2e gap on the

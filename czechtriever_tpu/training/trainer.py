@@ -85,6 +85,29 @@ class Trainer:
             vocabs.append(teacher_mcfg.vocab_size)
         self._u16_wire = max(vocabs) < 2 ** 16
 
+        # length-aware packing (cfg.pack_rows, data/packing.py): pack
+        # each microbatch's crops into fixed row blocks just before
+        # transfer. The block count is quantized to a multiple of
+        # (4, data-axis size) so the jitted step sees few distinct
+        # shapes AND every shape shards evenly over the mesh.
+        self._pack_rows = int(getattr(cfg, "pack_rows", 0) or 0)
+        if self._pack_rows and local_batches:
+            # per-process feeds would need a cross-process agreement on
+            # the block count per step; not worth the collective — the
+            # unpacked path stays correct
+            logger.warning("pack_rows is not supported with "
+                           "local_batches feeding; packing disabled")
+            self._pack_rows = 0
+        if self._pack_rows % 8:
+            raise ValueError(f"pack_rows must be a multiple of 8, got "
+                             f"{self._pack_rows}")
+        import math as _math
+        self._pack_quantum = _math.lcm(4, data_size)
+        if self._pack_rows:
+            # a crop can be at most max-length tokens; it must fit a block
+            logger.info("packing microbatches into %d-row blocks "
+                        "(quantum %d)", self._pack_rows, self._pack_quantum)
+
         rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         if cfg.contrastive_mode == "moco":
             self.state = statelib.create_moco_state(rng, cfg, mcfg, self.tx,
@@ -167,27 +190,67 @@ class Trainer:
         # every process calls in: ckpt.save is collective under
         # multi-process orbax (is_main gating would deadlock its
         # barrier); single-process it degenerates to a plain save
-        ckpt.save(self.state, self.cfg, self.cfg.save_dir, name)
+        ckpt.save(self.state, self.cfg, self.cfg.save_dir, name,
+                  async_save=bool(getattr(self.cfg, "async_save", False)))
 
     @property
     def encoder_params(self):
         return (self.state.params_q if hasattr(self.state, "params_q")
                 else self.state.params)
 
+    def _pack_micros(self, micro_batches):
+        """Pack every microbatch's q/k crops into [nb, R] row blocks
+        (data/packing.py). nb is the quantized max over all 2A packings
+        so the step's [A, nb, R] stack is one static shape that shards
+        evenly; packing stays within each microbatch, so batch
+        membership (and the dropout-0 loss) is unchanged."""
+        from czechtriever_tpu.data import packing
+        R = self._pack_rows
+        need = 0
+        lens = {}
+        for i, m in enumerate(micro_batches):
+            for p in ("q", "k"):
+                ln = m[f"{p}_mask"].astype(np.int64).sum(axis=1)
+                lens[(i, p)] = ln
+                need = max(need, packing.blocks_needed(ln, R))
+        nb = packing.quantize_blocks(need, self._pack_quantum)
+        out = []
+        for i, m in enumerate(micro_batches):
+            d = {}
+            for p in ("q", "k"):
+                seqs = [m[f"{p}_tokens"][j, :n]
+                        for j, n in enumerate(lens[(i, p)])]
+                t, s, po, ln = packing.pack_sequences(seqs, R, nb)
+                d.update({f"{p}_tokens": t, f"{p}_seg": s,
+                          f"{p}_pos": po, f"{p}_lens": ln})
+            out.append(d)
+        return out
+
     # -- core ---------------------------------------------------------------
     def _device_batch(self, micro_batches):
+        if (self._pack_rows and "q_mask" in micro_batches[0]
+                and "t_tokens" not in micro_batches[0]):
+            # distill batches (t_*) keep the unpacked layout: the
+            # teacher consumes fixed-length re-tokenized prompts
+            micro_batches = self._pack_micros(micro_batches)
         keep = ("q_tokens", "q_mask", "k_tokens", "k_mask",
-                "t_tokens", "t_mask")  # t_*: distill teacher tokens
+                "t_tokens", "t_mask",  # t_*: distill teacher tokens
+                "q_seg", "q_pos", "q_lens",  # packed layout
+                "k_seg", "k_pos", "k_lens")
         stacked = {k: np.stack([m[k] for m in micro_batches])
                    for k in micro_batches[0] if k in keep}
         # narrow wire dtypes: token ids fit uint16 when the vocab does
         # (Czert: 30522) and masks are 0/1 — a 4x smaller host->device
         # transfer (~8.4 -> 2.1 MB/step at B=32 x accum 8, L=256).
-        # bert.forward widens them back on device.
+        # bert.forward widens them back on device. Packed aux arrays ride
+        # int16 (seg needs the -1 sentinel, so unsigned won't do).
         if self._u16_wire:
             for k, v in stacked.items():
-                stacked[k] = v.astype(
-                    np.uint8 if k.endswith("_mask") else np.uint16)
+                if k.endswith(("_seg", "_pos", "_lens")):
+                    stacked[k] = v.astype(np.int16)
+                else:
+                    stacked[k] = v.astype(
+                        np.uint8 if k.endswith("_mask") else np.uint16)
         if self.local_batches:
             rows = next(iter(stacked.values())).shape[1]
             if rows != self.local_micro:
@@ -294,6 +357,9 @@ class Trainer:
                     "training data.")
             epoch += 1
         profiler.close()
+        # commit any in-flight async save before returning — callers
+        # (final save, eval-from-latest) must see a flipped `latest`
+        ckpt.wait_pending()
         self._log_peak_memory()
 
     def _log_peak_memory(self) -> None:

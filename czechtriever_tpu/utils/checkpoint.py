@@ -43,9 +43,53 @@ def _ckptr():
     return ocp.StandardCheckpointer()
 
 
-def save(state: Any, cfg: Config, save_dir: str, name: str) -> str:
+# -- async save machinery ----------------------------------------------------
+# The 960-step shakeout measured a blocking save at ~28 s of stalled
+# step loop (7 s host snapshot + 21 s orbax commit; docs/PERF.md). The
+# commit is pure file IO, so it runs on orbax's background thread; the
+# step loop pays only the snapshot. The ``latest`` symlink is flipped
+# AFTER the commit is confirmed (at the next save, or via
+# wait_pending()), so a crash mid-commit leaves ``latest`` on the
+# previous complete checkpoint — resume semantics identical to the
+# blocking path, proven by the SIGKILL crash-resume tests. The reference
+# blocks in torch.save (src/utils.py:43-71); this is a beat, not parity.
+_async_ckptr = None
+_pending: Optional[Tuple[str, str]] = None  # (ckpt path, checkpoint root)
+
+
+def _get_async_ckptr():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_pending() -> Optional[str]:
+    """Block until the in-flight async save (if any) commits, then flip
+    ``latest`` to it. Returns the committed path (or None). Call at
+    trainer shutdown and before any restore-from-latest."""
+    global _pending
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+    if _pending is None:
+        return None
+    path, root = _pending
+    _pending = None
+    if jax.process_index() == 0:
+        symlink_force(path, os.path.join(root, "latest"))
+    return path
+
+
+def save(state: Any, cfg: Config, save_dir: str, name: str,
+         async_save: bool = False) -> str:
     """Save train state under <save_dir>/checkpoint/<name>, update
     ``latest``. Returns the checkpoint path.
+
+    async_save=True: snapshot to host, hand the write to orbax's
+    background thread, and return — the barrier moves to the NEXT save
+    (or wait_pending()). ``latest`` is only flipped once the commit is
+    confirmed, so it always names a complete checkpoint.
 
     COLLECTIVE in multi-process runs: orbax's checkpointer barriers
     across all jax processes, so every process must call this (gating on
@@ -66,8 +110,13 @@ def save(state: Any, cfg: Config, save_dir: str, name: str) -> str:
             return x
         return np.asarray(x)
 
+    if async_save:
+        # barrier on the PREVIOUS async save before reusing the thread
+        # (also flips its `latest`); overlap is between save and steps,
+        # not save and save
+        wait_pending()
     state = jax.tree.map(_to_host, state)
-    ckptr = _ckptr()
+    ckptr = _get_async_ckptr() if async_save else _ckptr()
     state_path = os.path.join(path, "state")
     if is_main:
         os.makedirs(root, exist_ok=True)
@@ -80,12 +129,17 @@ def save(state: Any, cfg: Config, save_dir: str, name: str) -> str:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("czt_ckpt_cleanup")
     ckptr.save(state_path, state)
-    ckptr.wait_until_finished()
     if is_main:
         cfg.save(os.path.join(path, "config.json"))
-        symlink_force(path, os.path.join(root, "latest"))
         if name != "lastlog":
             logger.info("Saving model to %s", path)
+    if async_save:
+        global _pending
+        _pending = (path, root)
+    else:
+        ckptr.wait_until_finished()
+        if is_main:
+            symlink_force(path, os.path.join(root, "latest"))
     return path
 
 
@@ -122,6 +176,7 @@ def load(abstract_state: Any, ckpt_path: str) -> Tuple[Any, Config]:
 
 
 def latest_path(save_dir: str) -> Optional[str]:
+    wait_pending()  # an in-flight async save may be about to become latest
     p = os.path.join(save_dir, "checkpoint", "latest")
     return os.path.realpath(p) if os.path.exists(p) else None
 
