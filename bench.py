@@ -62,11 +62,79 @@ def model_flops_per_pair(mcfg, seq: int, queue_size: int,
     return passes * fwd_per_token * seq + queue_mm
 
 
+def recipe_lengths(rng, shape, chunk: int = 256, ratio_min: float = 0.1,
+                   ratio_max: float = 0.5, n_special: int = 2):
+    """Sample real crop lengths from the reference recipe's crop
+    distribution: ratio ~ U(0.1, 0.5) of a 256-token chunk plus bos/eos
+    (src/options.py:109-110, src/data.py add_bos_eos)."""
+    ratio = rng.uniform(ratio_min, ratio_max, shape)
+    return (ratio * chunk).astype(np.int64) + n_special
+
+
+def packed_flops_per_pair(mcfg, lengths, queue_size: int, remat) -> float:
+    """Useful FLOPs per pair for the packed workload's MFU: the same
+    accounting as model_flops_per_pair but summed over the REAL crop
+    lengths (the packed step spends no FLOPs on inter-crop padding
+    except block-tail slack, which is excluded here — MFU counts only
+    useful work, so slack shows up as lost MFU, as it should)."""
+    D, F, L = (mcfg.hidden_size, mcfg.intermediate_size,
+               mcfg.num_hidden_layers)
+    per_layer_mm = 2 * (4 * D * D + 2 * D * F)
+    passes = (4 if remat in (True, "full") else 3) + 1
+    ell = np.asarray(lengths, np.float64)
+    # per crop: passes * L * (per_layer_mm * ell + 4 * D * ell^2).
+    # `passes` already lumps the pair's q side (3 passes) and k side
+    # (1 pass) exactly like model_flops_per_pair, and `lengths` pools
+    # both sides' iid crop lengths — so FLOPs per PAIR is the plain
+    # mean, NOT 2x it
+    per_crop = passes * L * (per_layer_mm * ell + 4 * D * ell ** 2)
+    queue_mm = 2 * 2 * mcfg.hidden_size * queue_size
+    return float(per_crop.mean()) + queue_mm
+
+
+def build_packed_batch(rng, batch: int, accum: int, rows: int):
+    """Synthetic packed microbatches at the recipe crop distribution.
+
+    Returns the packed batch dict ([A, nb, R] arrays + [A, N] lengths)
+    and the flat length samples for the MFU accounting. nb is the max
+    FFD block count over all 2A microbatch packings, quantized so a real
+    trainer would see few distinct shapes."""
+    from czechtriever_tpu.data import packing
+    lens = recipe_lengths(rng, (2, accum, batch))
+    packs = {}
+    nb_needed = 0
+    for side in range(2):
+        for a in range(accum):
+            seqs = [rng.integers(5, 30000, size=int(n)).astype(np.int32)
+                    for n in lens[side, a]]
+            packs[(side, a)] = seqs
+            nb_needed = max(nb_needed, packing.blocks_needed(
+                [len(s) for s in seqs], rows))
+    # quantum 2: measured IDENTICAL to quantum 4 at this distribution
+    # (the block count is set by the max-need microbatch, 43-44 at
+    # B=128/R=256, not by the quantum; density 0.886 either way). The
+    # residual ~11% slack is cross-microbatch variance — all A
+    # microbatches stack to the worst packing's nb — which parity
+    # forbids fixing (rebalancing crops across microbatches would
+    # change batch membership and the MoCo queue order).
+    nb = packing.quantize_blocks(nb_needed, 2)
+    out = {}
+    for prefix, side in (("q", 0), ("k", 1)):
+        t, s, p, ln = zip(*[packing.pack_sequences(packs[(side, a)], rows, nb)
+                            for a in range(accum)])
+        out[f"{prefix}_tokens"] = np.stack(t)
+        out[f"{prefix}_seg"] = np.stack(s)
+        out[f"{prefix}_pos"] = np.stack(p)
+        out[f"{prefix}_lens"] = np.stack(ln)
+    return out, lens.reshape(-1), nb
+
+
 def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           attention_impl: str = "auto", hidden_act: str = "gelu_tanh",
           unroll: int = 1, ema_every_step: bool = False,
           ffn_impl: str = "xla", scan_layers: bool = True,
-          dropout: float = 0.1, pack_pairs: bool = True):
+          dropout: float = 0.1, pack_pairs: bool = True,
+          pack_rows: int = 0):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config, enable_compilation_cache
@@ -100,13 +168,22 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
     st = meshlib.replicate(mesh, st)
 
     rng = np.random.default_rng(0)
-    ids = rng.integers(5, mcfg.vocab_size, (2, accum, batch, seq)).astype(np.int32)
-    mask = np.ones((accum, batch, seq), np.int32)
-    b = {"q_tokens": ids[0], "q_mask": mask, "k_tokens": ids[1], "k_mask": mask}
+    lens = None
+    if pack_rows:
+        b, lens, nb = build_packed_batch(rng, batch, accum, pack_rows)
+        print(f"packed: rows={pack_rows} blocks={nb} "
+              f"density={lens.sum() / (2 * accum * nb * pack_rows):.3f} "
+              f"mean_len={lens.mean():.1f}", file=sys.stderr)
+    else:
+        ids = rng.integers(5, mcfg.vocab_size,
+                           (2, accum, batch, seq)).astype(np.int32)
+        mask = np.ones((accum, batch, seq), np.int32)
+        b = {"q_tokens": ids[0], "q_mask": mask,
+             "k_tokens": ids[1], "k_mask": mask}
     b = meshlib.shard_microbatches(mesh, b)
 
     step_fn = jax.jit(steps.make_moco_step(cfg, mcfg, tx), donate_argnums=0)
-    return step_fn, st, b, cfg
+    return step_fn, st, b, cfg, lens
 
 
 def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
@@ -114,12 +191,12 @@ def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         hidden_act: str = "gelu_tanh", unroll: int = 1,
         ema_every_step: bool = False, ffn_impl: str = "xla",
         scan_layers: bool = True, dropout: float = 0.1,
-        pack_pairs: bool = True):
+        pack_pairs: bool = True, pack_rows: int = 0):
     import jax
-    step_fn, st, b, cfg = build(batch, accum, seq, queue_size, remat,
-                                attention_impl, hidden_act, unroll,
-                                ema_every_step, ffn_impl, scan_layers,
-                                dropout, pack_pairs)
+    step_fn, st, b, cfg, lens = build(batch, accum, seq, queue_size, remat,
+                                      attention_impl, hidden_act, unroll,
+                                      ema_every_step, ffn_impl, scan_layers,
+                                      dropout, pack_pairs, pack_rows)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
@@ -138,7 +215,7 @@ def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
     if os.environ.get("CZT_ATTN_NO_SOFTMAX") != "1":
         assert np.isfinite(loss), f"non-finite loss {loss}"
     pairs = batch * accum * steps_n
-    return pairs / dt, dt / steps_n, loss
+    return pairs / dt, dt / steps_n, loss, lens
 
 
 def main():
@@ -151,7 +228,15 @@ def main():
     # ladder and loses. Larger microbatches amortize per-program kernel
     # dispatch + the stacked-save DUS traffic per pair
     p.add_argument("--workload", default="both",
-                   choices=("both", "recipe", "full"))
+                   choices=("both", "packed", "recipe", "full"))
+    # packed: the recipe crop distribution through the length-packed
+    # pipeline (data/packing.py) — the shape the training pipeline
+    # actually runs with pack_rows > 0; recipe: the fixed 136-column
+    # unpacked bucket (what the pipeline emits with packing off);
+    # full: all-256
+    p.add_argument("--pack_rows", type=int, default=256,
+                   help="row budget per packed block (the packed "
+                        "workload's R); 0 disables")
     # recipe: seq 136 = the static pair shape the reference recipe's
     # crop distribution produces (see module docstring); full: seq 256;
     # both (default): measure the two shapes and emit them in ONE JSON
@@ -201,20 +286,19 @@ def main():
     # the XLA FFN chain (both under flash_block attention)
     args = p.parse_args()
 
-    def measure(seq):
+    def measure(seq, pack_rows=0):
         """One workload shape, with the OOM degradation ladder."""
         batch = args.batch
         remat = args.remat
         retried_same = False
         while True:
             try:
-                sps, spstep, loss = run(batch, args.accum, seq,
-                                        args.queue_size, args.steps, remat,
-                                        args.attention, args.gelu,
-                                        args.unroll, args.ema_every_step,
-                                        args.ffn,
-                                        args.layer_loop == "scan",
-                                        args.dropout, args.pack_pairs)
+                sps, spstep, loss, lens = run(
+                    batch, args.accum, seq, args.queue_size, args.steps,
+                    remat, args.attention, args.gelu, args.unroll,
+                    args.ema_every_step, args.ffn,
+                    args.layer_loop == "scan", args.dropout,
+                    args.pack_pairs, pack_rows)
                 break
             except Exception as e:
                 oom = ("RESOURCE_EXHAUSTED" in str(e)
@@ -242,43 +326,63 @@ def main():
                     raise
         from czechtriever_tpu.models import bert as bertlib
         mcfg = bertlib.BertConfig(vocab_size=30522)
-        mfu = sps * model_flops_per_pair(mcfg, seq, args.queue_size,
-                                         remat) / V5E_PEAK_FLOPS
-        print(f"seq={seq} batch={batch} accum={args.accum} "
+        if pack_rows:
+            fpp = packed_flops_per_pair(mcfg, lens, args.queue_size, remat)
+        else:
+            fpp = model_flops_per_pair(mcfg, seq, args.queue_size, remat)
+        mfu = sps * fpp / V5E_PEAK_FLOPS
+        shape_lbl = f"packed(R={pack_rows})" if pack_rows else f"seq={seq}"
+        print(f"{shape_lbl} batch={batch} accum={args.accum} "
               f"step={spstep*1000:.1f}ms loss={loss:.4f} "
               f"attention={args.attention} remat={remat} "
               f"mfu={100*mfu:.1f}%", file=sys.stderr)
-        return {"value": round(sps, 2),
-                "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_S, 3),
-                "mfu_pct": round(100 * mfu, 1), "seq": seq}
+        out = {"value": round(sps, 2),
+               "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_S, 3),
+               "mfu_pct": round(100 * mfu, 1), "seq": seq}
+        if pack_rows:
+            out["pack_rows"] = pack_rows
+            out["mean_crop_len"] = round(float(np.mean(lens)), 1)
+        return out
 
     shapes = {"recipe": 136, "full": 256}
     if args.seq is not None:
-        if args.workload == "both":
+        if args.workload in ("both", "packed"):
             # silently measuring the default shapes under a custom --seq
             # would mislabel the run; require an explicit workload
             p.error("--seq requires an explicit --workload (recipe|full)")
         shapes[args.workload] = args.seq
-    want = ("recipe", "full") if args.workload == "both" \
+    want = ("packed", "recipe", "full") if args.workload == "both" \
         else (args.workload,)
-    results = {w: measure(shapes[w]) for w in want}
+    results = {}
+    for w in want:
+        if w == "packed":
+            results[w] = measure(shapes["recipe"], pack_rows=args.pack_rows)
+        else:
+            results[w] = measure(shapes[w])
 
-    print("(reference-recipe pair shape = crops<=130 tokens padded to "
-          "136, src/data.py:563-573; 'full_256' is the strictly harder "
-          "all-256 shape the recipe's hot loop never sees)",
-          file=sys.stderr)
-    headline = results.get("recipe") or results["full"]
+    print("(packed = the recipe crop distribution [mean ~80 real tokens] "
+          "through the length-packed pipeline, the training pipeline's "
+          "actual hot loop with packing on; recipe = the same crops in "
+          "the fixed 136-column unpacked bucket [crops<=130 padded to "
+          "136, src/data.py:563-573]; full_256 is the strictly harder "
+          "all-256 shape the recipe never sees)", file=sys.stderr)
+    headline = (results.get("packed") or results.get("recipe")
+                or results["full"])
+    wl = ("packed" if "packed" in results
+          else "recipe" if "recipe" in results else "full")
     out = {
         "metric": "moco_train_pairs_per_s",
         "value": headline["value"],
         "unit": "pairs/s",
         "vs_baseline": headline["vs_baseline"],
         "mfu_pct": headline["mfu_pct"],
-        "workload": "recipe" if "recipe" in results else "full",
+        "workload": wl,
         "seq": headline["seq"],
     }
-    if "full" in results and "recipe" in results:
-        out["full_256"] = results["full"]
+    for extra, key in (("recipe", "recipe_unpacked_136"),
+                       ("full", "full_256")):
+        if extra in results and extra != wl:
+            out[key] = results[extra]
     print(json.dumps(out))
 
 
