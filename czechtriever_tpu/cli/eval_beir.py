@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "eval_beir.py:75)")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--save_results_path", type=str, default=None)
+    p.add_argument("--pack_rows", type=int, default=256,
+                   help="length-packed corpus encode row budget "
+                        "(evaluation/beir.py DenseEncoder; 0 = "
+                        "unpacked bucketed path)")
     return p
 
 
@@ -69,7 +73,8 @@ def main(argv=None) -> None:
             norm_query=args.norm_query, norm_doc=args.norm_doc,
             lower_case=args.lower_case, normalize_text=args.normalize_text,
             pooling=args.pooling, score_function=args.score_function,
-            save_results_path=args.save_results_path)
+            save_results_path=args.save_results_path,
+            pack_rows=args.pack_rows)
         for k, v in sorted(res.items()):
             logger.info("%s %s: %.2f", dataset, k, v)
         all_metrics[dataset] = res

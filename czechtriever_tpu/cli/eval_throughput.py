@@ -46,16 +46,62 @@ def get_random_batch(rng, batch_size, vocab_size, min_len, max_len):
 
 
 def measure_encode(params, mcfg, batch_size, *, iterations, min_len,
-                   max_len, seed=0):
+                   max_len, seed=0, pack_rows=0):
+    """pack_rows > 0: length-packed encode (data/packing.py +
+    encode_packed) — the round-5 inference-MFU lever: no padding FLOPs
+    and one dispatch per whole batch. Host-side FFD packing runs INSIDE
+    the timed loop (it is part of the pipeline)."""
     import jax
     import jax.numpy as jnp
-    from czechtriever_tpu.models.contriever import encode
+    from czechtriever_tpu.models.contriever import encode, encode_packed
 
-    fn = jax.jit(lambda p, i, m: encode(p, mcfg, i, m,
-                                        deterministic=True))
     rng = np.random.default_rng(seed)
     batches = [get_random_batch(rng, batch_size, mcfg.vocab_size, min_len,
                                 max_len) for _ in range(iterations)]
+
+    if pack_rows:
+        from czechtriever_tpu.data import packing
+        R = max(pack_rows, -(-max_len // 128) * 128)
+        # one static block count across batches (max need, quantized)
+        nb = packing.quantize_blocks(
+            max(packing.blocks_needed(m.sum(axis=1), R)
+                for _, m in batches), 8)
+
+        def run(ids, mask):
+            lens = mask.astype(np.int64).sum(axis=1)
+            seqs = [ids[i, :lens[i]] for i in range(len(ids))]
+            t, s, p, _ = packing.pack_sequences(seqs, R, nb)
+            return encode_packed(params, mcfg, jnp.asarray(t),
+                                 jnp.asarray(s), jnp.asarray(p),
+                                 num_segments=batch_size)
+
+        out = run(*batches[0])
+        float(np.asarray(out)[0, 0])
+        times, tokens = [], 0
+        for ids, mask in batches:
+            t0 = time.perf_counter()
+            out = run(ids, mask)
+            float(np.asarray(out)[0, 0])  # sync
+            times.append(time.perf_counter() - t0)
+            tokens += int(mask.sum())
+        total = sum(times)
+        tms = np.array(times) * 1000
+        return {
+            "batch_size": batch_size,
+            "pack_rows": R,
+            "samples_per_s": batch_size * iterations / total,
+            "tokens_per_s": tokens / total,
+            "latency_ms_mean": float(tms.mean()),
+            "latency_ms_min": float(tms.min()),
+            "latency_ms_p25": float(np.quantile(tms, 0.25)),
+            "latency_ms_p50": float(np.quantile(tms, 0.50)),
+            "latency_ms_p75": float(np.quantile(tms, 0.75)),
+            "latency_ms_max": float(tms.max()),
+            "avg_seq_length": tokens / (batch_size * iterations),
+        }
+
+    fn = jax.jit(lambda p, i, m: encode(p, mcfg, i, m,
+                                        deterministic=True))
     # warmup/compile
     out = fn(params, *[jnp.asarray(x) for x in batches[0]])
     float(np.asarray(out)[0, 0])
@@ -206,6 +252,9 @@ def main(argv=None) -> None:
     p.add_argument("--search_docs", type=int, default=100_000)
     p.add_argument("--search_queries", type=int, default=256)
     p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--pack_rows", type=int, default=256,
+                   help="row budget for the length-packed encode "
+                        "measurement (0 skips the packed row)")
     p.add_argument("--translate", action="store_true",
                    help="measure the Marian cs->en translation pipeline "
                         "(harness 1)")
@@ -233,6 +282,17 @@ def main(argv=None) -> None:
                 res["latency_ms_p50"], res["latency_ms_p75"],
                 res["latency_ms_max"])
     print(json.dumps({"measurement": "encode", **res}))
+
+    if args.pack_rows:
+        res_p = measure_encode(params, mcfg, args.batch_size,
+                               iterations=args.iterations,
+                               min_len=args.min_seq_length,
+                               max_len=args.max_seq_length,
+                               pack_rows=args.pack_rows)
+        logger.info("encode packed(R=%d): %.1f samples/s, %.1f tokens/s",
+                    res_p["pack_rows"], res_p["samples_per_s"],
+                    res_p["tokens_per_s"])
+        print(json.dumps({"measurement": "encode_packed", **res_p}))
 
     if args.find_max_batch:
         mb = find_max_batch(params, mcfg, start=args.batch_size,

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lowercase", action="store_true")
     p.add_argument("--normalize_text", action="store_true")
     p.add_argument("--pooling", type=str, default="average")
+    p.add_argument("--pack_rows", type=int, default=256,
+                   help="length-packed encode row budget (0 = "
+                        "unpacked bucketed path); corpus encode is "
+                        "this tool's wall-clock")
     return p
 
 
@@ -95,7 +99,8 @@ def main(argv=None) -> None:
 
     encoder = DenseEncoder(params, mcfg, tokenizer,
                            max_length=args.passage_maxlength,
-                           pooling=args.pooling)
+                           pooling=args.pooling,
+                           pack_rows=args.pack_rows)
     ids, emb = embed_passages(args, shard, encoder)
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -77,7 +77,8 @@ class DenseEncoder:
                  lower_case: bool = False, normalize_text: bool = False,
                  pooling: str = "average", mesh=None, bucket: int = 64,
                  doc_params: bert.Params = None,
-                 doc_mcfg: bert.BertConfig = None):
+                 doc_mcfg: bert.BertConfig = None, pack_rows: int = 0,
+                 pack_group: int = 0):
         self.params = params
         self.mcfg = mcfg
         # separate document encoder (the distill eval path,
@@ -103,6 +104,17 @@ class DenseEncoder:
             mesh = meshlib.local_mesh()
         self.mesh = mesh
         self.bucket = bucket
+        # length packing for corpus encode (round-5 ask #4): pack each
+        # group of texts into [nb, pack_rows] row blocks so no FLOPs go
+        # to padding AND each device dispatch carries a whole group —
+        # at avg passage length ~73 the unpacked path runs the encoder
+        # at ~57% token density in 64-row dispatches whose tunnel
+        # round-trip dwarfs the ~7 ms of real compute. pack_rows=0
+        # keeps the unpacked bucketed path (exact same embeddings
+        # either way; pinned in tests). pack_group: texts per packed
+        # dispatch (default 4x batch_size).
+        self.pack_rows = pack_rows
+        self.pack_group = pack_group
         if self.multiprocess:
             # the training eval hook passes the trainer's GLOBAL-mesh
             # device params (replicated, or TP-sharded across hosts);
@@ -141,12 +153,62 @@ class DenseEncoder:
         return self._encode_local(texts, batch_size, normalize,
                                   use_doc_encoder)
 
+    def _encode_local_packed(self, texts, batch_size: int,
+                             normalize: bool,
+                             use_doc_encoder: bool = False) -> np.ndarray:
+        """Length-packed encode: tokenize a group, FFD-pack the real
+        token runs into [nb, R] blocks (data/packing.py), one
+        encode_packed dispatch per group, unpack by segment id. The
+        embeddings are bit-comparable to the unpacked path (same masked
+        mean over the same tokens; fp accumulation order differs)."""
+        from czechtriever_tpu.data import packing
+        from czechtriever_tpu.models.contriever import encode_packed
+        ws = (self.mesh.shape[meshlib.DATA_AXIS]
+              if self.mesh is not None else 1)
+        G = self.pack_group or max(batch_size, 4 * batch_size)
+        out = []
+        for s in range(0, len(texts), G):
+            chunk = texts[s:s + G]
+            n_real = len(chunk)
+            ids, mask = batch_encode_any(
+                self.tokenizer, chunk, max_length=self.max_length,
+                add_special_tokens=self.add_special_tokens)
+            lens = mask.astype(np.int64).sum(axis=1)
+            seqs = [ids[i, :lens[i]] for i in range(n_real)]
+            # pad the group to G segments (dummy 1-token seqs) so
+            # num_segments — and thus the jit signature — is static
+            seqs += [np.zeros(1, np.int32)] * (G - n_real)
+            # blocks must fit the longest text: bump R per 128-lane
+            # bucket (bounded shape count: R, R+128, ...)
+            R = max(self.pack_rows,
+                    -(-int(max(lens.max(), 1)) // 128) * 128)
+            nb = packing.quantize_blocks(
+                packing.blocks_needed([len(q) for q in seqs], R),
+                max(8, ws))
+            t, seg, pos, _ = packing.pack_sequences(seqs, R, nb)
+            jt, jseg, jpos = (jnp.asarray(a) for a in (t, seg, pos))
+            if self.mesh is not None:
+                sh = meshlib.batch_sharding(self.mesh)
+                jt, jseg, jpos = (jax.device_put(a, sh)
+                                  for a in (jt, jseg, jpos))
+            params = (self.doc_params if use_doc_encoder
+                      and self.doc_params is not None else self.params)
+            mcfg = (self.doc_mcfg if use_doc_encoder
+                    and self.doc_params is not None else self.mcfg)
+            emb = encode_packed(params, mcfg, jt, jseg, jpos,
+                                num_segments=G, normalize=normalize)
+            out.append(emb[:n_real])  # async; sync at the final concat
+        return np.concatenate([np.asarray(e) for e in out], axis=0)
+
     def _encode_local(self, texts, batch_size: int, normalize: bool,
                       use_doc_encoder: bool = False) -> np.ndarray:
         if self.normalize_text:
             texts = [normalize_fn(t) for t in texts]
         if self.lower_case:
             texts = [t.lower() for t in texts]
+        if self.pack_rows:
+            return self._encode_local_packed(texts, batch_size, normalize,
+                                             use_doc_encoder)
         out = []
         ws = self.mesh.shape[meshlib.DATA_AXIS] if self.mesh is not None else 1
         for s in range(0, len(texts), batch_size):
@@ -245,7 +307,7 @@ def evaluate_model(params: bert.Params, mcfg: bert.BertConfig, tokenizer,
                    save_results_path: Optional[str] = None,
                    doc_params: bert.Params = None,
                    doc_mcfg: bert.BertConfig = None,
-                   score_function: str = "dot"
+                   score_function: str = "dot", pack_rows: int = 0
                    ) -> Dict[str, float]:
     """Reference evaluate_model parity (beir_utils.py:136-247):
     returns {metric: value*100}. Passing doc_params gives the
@@ -257,7 +319,7 @@ def evaluate_model(params: bert.Params, mcfg: bert.BertConfig, tokenizer,
                            norm_doc=norm_doc, lower_case=lower_case,
                            normalize_text=normalize_text, pooling=pooling,
                            mesh=mesh, doc_params=doc_params,
-                           doc_mcfg=doc_mcfg)
+                           doc_mcfg=doc_mcfg, pack_rows=pack_rows)
     results = retrieve(encoder, corpus, queries, top_k=max(k_values),
                        batch_size=batch_size, mesh=mesh,
                        score_function=score_function)

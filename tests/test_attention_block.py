@@ -147,17 +147,37 @@ class TestPairPacking:
             np.asarray(out_p).reshape(B, L, H * D), np.asarray(out_u),
             rtol=2e-4, atol=2e-4)
 
-    def test_model_forward_packed_matches_unpacked_interpret(self):
-        """bert.forward pack gate on the CPU interpret path is exercised
-        on chip (-m tpu); here check the gate's shape conditions."""
+    def test_model_forward_packed_matches_unpacked_interpret(
+            self, monkeypatch):
+        """bert.forward's pack gate (reshape + segmented-bias plumbing)
+        exercised end to end on CPU by routing the fused kernel through
+        interpret mode: packed flash_block forward == naive forward."""
         from czechtriever_tpu.models import bert
-        cfg = bert.BertConfig.tiny(attention_impl="flash_block",
-                                   attention_pack_pairs=True)
-        # gate requires even B, L % 8 == 0, L % 128 != 0 — none of this
-        # changes public shapes; forward must return [B, L, D] whatever
-        # the gate decides (interpret path not available for the fused
-        # kernel on CPU, so only assert the config plumbs)
-        assert cfg.attention_pack_pairs
+
+        def interp(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, H,
+                   attn_rate=0.0, hidden_rate=0.0, eps=1e-12,
+                   deterministic=True):
+            return AB.attention_block_interpret(
+                q, k, v, x, wo, bo, scale, ln_bias, bias, seed,
+                n_heads=H, eps=eps, deterministic=deterministic)
+
+        monkeypatch.setattr(AB, "attention_block", interp)
+        rng = np.random.default_rng(12)
+        B, L = 4, 40                    # even B, L % 8 == 0, L % 128 != 0
+        cfg_p = bert.BertConfig.tiny(attention_impl="flash_block",
+                                     attention_pack_pairs=True)
+        cfg_n = bert.BertConfig.tiny(attention_impl="naive")
+        params = bert.init_params(jax.random.key(3), cfg_n)
+        ids = jnp.asarray(rng.integers(5, cfg_n.vocab_size, (B, L)))
+        mask = np.ones((B, L), np.int32)
+        mask[:, -5:] = 0
+        mask = jnp.asarray(mask)
+        out_p = bert.forward.__wrapped__(params, cfg_p, ids, mask)
+        out_n = bert.forward.__wrapped__(params, cfg_n, ids, mask)
+        real = np.asarray(mask).astype(bool)
+        np.testing.assert_allclose(np.asarray(out_p)[real],
+                                   np.asarray(out_n)[real],
+                                   rtol=3e-4, atol=3e-4)
 
 
 @pytest.mark.tpu

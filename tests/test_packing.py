@@ -213,6 +213,68 @@ class TestOnChipSegMode:
                                        rtol=3e-2, atol=3e-3)
 
 
+class TestDenseEncoderPacked:
+    def test_packed_encode_matches_unpacked(self):
+        """DenseEncoder(pack_rows=...) returns the same embeddings as
+        the unpacked bucketed path (round-5 inference-MFU lever)."""
+        from czechtriever_tpu.data.tokenizer import WordPieceTokenizer
+        from czechtriever_tpu.evaluation.beir import DenseEncoder
+        words = ("červená kočka skáče modrý pes běží rychle zelený "
+                 "strom roste").split()
+        vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                 + sorted(set(words)))
+        tok = WordPieceTokenizer({w: i for i, w in enumerate(vocab)})
+        mcfg = bert.BertConfig.tiny(vocab_size=len(vocab))
+        params = bert.init_params(jax.random.key(5), mcfg)
+        rng = np.random.default_rng(6)
+        texts = [" ".join(rng.choice(words, size=3 + i % 6))
+                 for i in range(11)]
+        enc_u = DenseEncoder(params, mcfg, tok, max_length=32)
+        enc_p = DenseEncoder(params, mcfg, tok, max_length=32,
+                             pack_rows=128, pack_group=4)
+        eu = enc_u.encode_queries(texts, batch_size=4)
+        ep = enc_p.encode_queries(texts, batch_size=4)
+        assert ep.shape == eu.shape == (11, mcfg.hidden_size)
+        np.testing.assert_allclose(ep, eu, rtol=2e-5, atol=2e-5)
+
+
+class TestTrainerPacked:
+    def test_cli_train_with_pack_rows(self, tmp_path):
+        """End-to-end CLI train with --pack_rows: the batcher's padded
+        microbatches are packed in Trainer._device_batch, the packed
+        step runs, metrics and the final checkpoint land."""
+        import json
+        import os
+
+        from czechtriever_tpu.cli import train as train_cli
+        from test_data import write_token_file
+        tokens = np.random.default_rng(0).integers(5, 200, 60_000)
+        tf = str(tmp_path / "tokens.bin")
+        write_token_file(tokens, tf)
+        mc = str(tmp_path / "model.json")
+        with open(mc, "w") as f:
+            json.dump({"vocab_size": 211, "hidden_size": 32,
+                       "num_hidden_layers": 2, "num_attention_heads": 2,
+                       "intermediate_size": 64,
+                       "max_position_embeddings": 64}, f)
+        run = str(tmp_path / "run")
+        train_cli.main([
+            "--train_data", tf, "--output_dir", run, "--save_dir", run,
+            "--contrastive_mode", "moco", "--queue_size", "64",
+            "--chunk_length", "16", "--target_batch_size", "16",
+            "--per_device_batch_size", "2", "--log_freq", "1",
+            "--lr", "1e-3", "--random_init", "--retriever_model_id",
+            "nonexistent-tiny", "--model_config_file", mc,
+            "--dtype", "float32", "--projection_size", "32",
+            "--val_data_ratio", "0", "--total_steps", "3",
+            "--pack_rows", "24"])
+        with open(os.path.join(run, "metrics.jsonl")) as f:
+            rows = [json.loads(l) for l in f]
+        assert any("train/loss" in r for r in rows)
+        assert os.path.isdir(os.path.join(run, "checkpoint", "final",
+                                          "state"))
+
+
 class TestMocoPackedParity:
     def test_loss_matches_unpacked_at_dropout0(self):
         """Same crops, packed vs unpacked microbatches: identical MoCo
