@@ -66,6 +66,26 @@ def _block_b_env() -> int:
     return max(1, int(os.environ.get("CZT_ATTN_BLOCK_B", "1")))
 
 
+def _no_ctx_save() -> bool:
+    """CZT_ATTN_NO_CTX_SAVE=1: TIMING-ONLY A/B that shrinks the fwd
+    kernel's saved-ctx output to a dummy row (backward is unusable).
+    The ctx save is 1/6 of the kernel's ~288 MB/call HBM traffic at
+    B=128, L=256 — if kernel time drops by ~ctx-bytes/HBM-BW, the
+    kernel is IO-additive (DMA not overlapping compute); if unchanged,
+    writes are overlapped. Read at trace time."""
+    import os
+    return os.environ.get("CZT_ATTN_NO_CTX_SAVE") == "1"
+
+
+def _no_stats() -> bool:
+    """CZT_ATTN_NO_STATS=1: TIMING-ONLY A/B that skips the softmax-stat
+    and LN-stat lane transposes + writes (_col_to_row chains) in the fwd
+    kernel (backward is unusable). Isolates the in-VMEM layout-op
+    suspect from docs/PERF.md round-8. Read at trace time."""
+    import os
+    return os.environ.get("CZT_ATTN_NO_STATS") == "1"
+
+
 def _col_to_row(col, lane_pad):
     """[L, 1] f32 column -> [1, lane_pad] row (sublanes -> lanes).
 
@@ -188,9 +208,9 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, i, b,
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[i, :, cols],
                     preferred_element_type=jnp.float32)
         outs.append((o / l).astype(q_ref.dtype))
-        if save_stats:
+        if save_stats and not _no_stats():
             lse_rows.append(_col_to_row(m + jnp.log(l), lse_ref.shape[-1]))
-    if save_stats:
+    if save_stats and not _no_stats():
         lse_ref[i] = jnp.concatenate(lse_rows, axis=0)
     return jnp.concatenate(outs, axis=-1)  # [Lq, HD]
 
@@ -206,7 +226,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
         ctx = _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref,
                        i, b, n_heads, attn_rate, deterministic,
                        save_stats=True)
-        ctx_ref[i] = ctx
+        # timing A/B: a shrunken ctx output block skips most of the
+        # save-DMA (see _no_ctx_save); normal mode writes the full rows
+        ctx_ref[i] = ctx[:ctx_ref.shape[1]]
         attn = jnp.dot(ctx, w_ref[...], preferred_element_type=jnp.float32)
         attn = attn + bo_ref[...].astype(jnp.float32)[None, :]
         if not deterministic and hidden_rate > 0.0:
@@ -222,9 +244,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
         y = zhat * sc_ref[...].astype(jnp.float32)[None, :] \
             + lb_ref[...].astype(jnp.float32)[None, :]
         y_ref[i] = y.astype(y_ref.dtype)
-        lane = ln_ref.shape[-1]
-        ln_ref[i] = jnp.concatenate(
-            [_col_to_row(mean, lane), _col_to_row(rstd, lane)], axis=0)
+        if not _no_stats():
+            lane = ln_ref.shape[-1]
+            ln_ref[i] = jnp.concatenate(
+                [_col_to_row(mean, lane), _col_to_row(rstd, lane)],
+                axis=0)
 
 
 def _row_to_col(row, L):
@@ -398,6 +422,7 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
     full = lambda b: (b, 0, 0)
     wspec = pl.BlockSpec((HD, HD), lambda b: (0, 0))
     vec = pl.BlockSpec((HD,), lambda b: (0,))
+    ctx_rows = 8 if _no_ctx_save() else Lq_pad   # timing A/B only
     y, ctx, lse, ln = pl.pallas_call(
         kern,
         grid=(B // bb,),
@@ -412,13 +437,13 @@ def _block_call(q, k, v, x, wo, bo, scale, ln_bias, bias, seed, n_heads,
         ],
         out_specs=[
             pl.BlockSpec((bb, Lq_pad, HD), full),
-            pl.BlockSpec((bb, Lq_pad, HD), full),
+            pl.BlockSpec((bb, ctx_rows, HD), full),
             pl.BlockSpec((bb, H, Lq_lane), full),
             pl.BlockSpec((bb, 2, Lq_lane), full),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq_pad, HD), x.dtype),
-            jax.ShapeDtypeStruct((B, Lq_pad, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, ctx_rows, HD), q.dtype),
             jax.ShapeDtypeStruct((B, H, Lq_lane), jnp.float32),
             jax.ShapeDtypeStruct((B, 2, Lq_lane), jnp.float32),
         ],
