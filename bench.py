@@ -134,7 +134,7 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           unroll: int = 1, ema_every_step: bool = False,
           ffn_impl: str = "xla", scan_layers: bool = True,
           dropout: float = 0.1, pack_pairs: bool = True,
-          pack_rows: int = 0):
+          pack_rows: int = 0, queue_dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config, enable_compilation_cache
@@ -161,7 +161,7 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
                  projection_size=768, lr=1e-5, warmup_steps=20000,
                  total_steps=500000, scheduler="linear",
                  clip_gradients=False, remat=remat_arg,
-                 ema_every_step=ema_every_step)
+                 ema_every_step=ema_every_step, queue_dtype=queue_dtype)
     mesh = meshlib.make_mesh()
     tx = optim.make_optimizer(cfg)
     st = statelib.create_moco_state(jax.random.key(0), cfg, mcfg, tx)
@@ -191,12 +191,14 @@ def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         hidden_act: str = "gelu_tanh", unroll: int = 1,
         ema_every_step: bool = False, ffn_impl: str = "xla",
         scan_layers: bool = True, dropout: float = 0.1,
-        pack_pairs: bool = True, pack_rows: int = 0):
+        pack_pairs: bool = True, pack_rows: int = 0,
+        queue_dtype: str = "bfloat16"):
     import jax
     step_fn, st, b, cfg, lens = build(batch, accum, seq, queue_size, remat,
                                       attention_impl, hidden_act, unroll,
                                       ema_every_step, ffn_impl, scan_layers,
-                                      dropout, pack_pairs, pack_rows)
+                                      dropout, pack_pairs, pack_rows,
+                                      queue_dtype)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
@@ -262,6 +264,14 @@ def main():
     # autodiff, dropout fwd/bwd mask consistency)
     p.add_argument("--gelu", default="gelu_tanh",
                    choices=("gelu", "gelu_tanh"))
+    p.add_argument("--queue_dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    # --strict_parity: reference numerics end to end — exact erf gelu,
+    # f32 queue, per-microbatch EMA (already default), NO pair packing
+    # and NO length packing (packing changes fp accumulation order).
+    # One measured row so the TPU-tuned-vs-reference-numerics delta is
+    # a number, not a footnote (VERDICT r4 #6).
+    p.add_argument("--strict_parity", action="store_true")
     p.add_argument("--unroll", type=int, default=1)
     p.add_argument("--layer_loop", default="python",
                    choices=("scan", "python"))
@@ -285,6 +295,12 @@ def main():
     # fused FFN block (ops/ffn_block.py): 526.3 vs 501.4 pairs/s with
     # the XLA FFN chain (both under flash_block attention)
     args = p.parse_args()
+    if args.strict_parity:
+        args.gelu = "gelu"
+        args.queue_dtype = "float32"
+        args.pack_pairs = False
+        if args.workload in ("both", "packed"):
+            args.workload = "recipe"
 
     def measure(seq, pack_rows=0):
         """One workload shape, with the OOM degradation ladder."""
@@ -298,7 +314,7 @@ def main():
                     remat, args.attention, args.gelu, args.unroll,
                     args.ema_every_step, args.ffn,
                     args.layer_loop == "scan", args.dropout,
-                    args.pack_pairs, pack_rows)
+                    args.pack_pairs, pack_rows, args.queue_dtype)
                 break
             except Exception as e:
                 oom = ("RESOURCE_EXHAUSTED" in str(e)

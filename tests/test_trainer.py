@@ -331,3 +331,73 @@ class TestProjectionSizeReconciled:
                      big)
         with pytest.raises(Exception):
             t2.resume_from(str(tmp_path / "checkpoint" / "latest"))
+
+
+class TestAsyncCheckpoint:
+    """Async save semantics (round-5 ask #5): the save call returns
+    before the commit; `latest` flips only once the commit is
+    confirmed, so it always names a COMPLETE checkpoint."""
+
+    def _state(self, cfg):
+        import jax
+        from czechtriever_tpu.models import bert
+        from czechtriever_tpu.training import optim, state as statelib
+        mcfg = bert.BertConfig.tiny()
+        tx = optim.make_optimizer(cfg)
+        return statelib.create_moco_state(jax.random.key(0), cfg, mcfg,
+                                          tx), mcfg, tx
+
+    def test_async_save_defers_latest_until_commit(self, tmp_path):
+        import os
+        from czechtriever_tpu.config import Config
+        from czechtriever_tpu.utils import checkpoint as ckpt
+        cfg = Config(queue_size=32, projection_size=64)
+        st, mcfg, tx = self._state(cfg)
+        ckpt.wait_pending()  # isolate from other tests' saves
+        p1 = ckpt.save(st, cfg, str(tmp_path), "step-1", async_save=True)
+        # commit may still be in flight; latest must not name step-1
+        # until wait_pending confirms (it may not exist at all yet)
+        committed = ckpt.wait_pending()
+        assert committed == p1
+        latest = os.path.realpath(
+            os.path.join(str(tmp_path), "checkpoint", "latest"))
+        assert latest == os.path.realpath(p1)
+        assert os.path.isdir(os.path.join(p1, "state"))
+
+    def test_next_async_save_flips_previous(self, tmp_path):
+        import os
+        from czechtriever_tpu.config import Config
+        from czechtriever_tpu.utils import checkpoint as ckpt
+        cfg = Config(queue_size=32, projection_size=64)
+        st, _, _ = self._state(cfg)
+        ckpt.wait_pending()
+        p1 = ckpt.save(st, cfg, str(tmp_path), "step-1", async_save=True)
+        # the SECOND async save barriers on the first and flips latest
+        # to it before starting its own write
+        p2 = ckpt.save(st, cfg, str(tmp_path), "step-2", async_save=True)
+        latest_mid = os.path.realpath(
+            os.path.join(str(tmp_path), "checkpoint", "latest"))
+        assert latest_mid == os.path.realpath(p1)
+        ckpt.wait_pending()
+        latest_end = os.path.realpath(
+            os.path.join(str(tmp_path), "checkpoint", "latest"))
+        assert latest_end == os.path.realpath(p2)
+
+    def test_async_restore_roundtrip(self, tmp_path):
+        import jax
+        import numpy as np
+        from czechtriever_tpu.config import Config
+        from czechtriever_tpu.utils import checkpoint as ckpt
+        cfg = Config(queue_size=32, projection_size=64)
+        st, _, _ = self._state(cfg)
+        ckpt.wait_pending()
+        ckpt.save(st, cfg, str(tmp_path), "final", async_save=True)
+        # latest_path itself waits out the pending commit
+        path = ckpt.latest_path(str(tmp_path))
+        host = jax.tree.map(np.asarray, st)
+        restored, _ = ckpt.load(host, path)
+        np.testing.assert_array_equal(np.asarray(restored.queue_ptr),
+                                      np.asarray(st.queue_ptr))
+        for a, b in zip(jax.tree.leaves(restored.params_q),
+                        jax.tree.leaves(st.params_q)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
