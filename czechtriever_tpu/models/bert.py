@@ -484,6 +484,14 @@ def forward_packed(params: Params, cfg: BertConfig,
     encoder exactly. Pool with ops.pooling.segment_mean_pool. Packing
     exists because the recipe's crops average ~80 real tokens against a
     136-column static pad — see data/packing.py for the why."""
+    # the plain flash kernel has no segment-mask mode, so "auto"/"flash"
+    # would silently fall back to naive XLA attention (materialized
+    # [B, R, R] scores) on packed inputs — route them to the fused
+    # block kernel, which handles seg-id masks natively. Explicit
+    # "naive" stays naive (CPU tests / debugging).
+    if (cfg.attention_impl in ("auto", "flash")
+            and jax.default_backend() == "tpu"):
+        cfg = dataclasses.replace(cfg, attention_impl="flash_block")
     dt = cfg.compute_dtype
     input_ids = input_ids.astype(jnp.int32)
     seg_ids = seg_ids.astype(jnp.int32)

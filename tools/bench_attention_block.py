@@ -69,6 +69,13 @@ def main():
     ap.add_argument("--grad", action="store_true",
                     help="also time fwd+bwd (not valid under the "
                          "timing-only fwd knobs)")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="N > 1: time a single jit containing N "
+                         "data-dependent kernel calls and report the "
+                         "MARGINAL per-call time (t_N - t_1)/(N-1) — "
+                         "removes the per-dispatch tunnel overhead "
+                         "that inflates every standalone timing here "
+                         "(the same reason xplane was retired)")
     args = ap.parse_args()
 
     from czechtriever_tpu.ops import attention_block as AB
@@ -100,6 +107,23 @@ def main():
           f"sum {mm_ms + io_ms:.3f}")
     print(f"fwd        : {t_fwd:7.3f} ms  "
           f"({100 * max(mm_ms, io_ms) / t_fwd:.0f}% of overlapped bound)")
+    if args.chain and args.chain > 1:
+        N = args.chain
+
+        def chain(n):
+            def f(q, k, v, x):
+                y = x
+                for _ in range(n):
+                    y = AB.attention_block(q, k, v, y, wo, bo, scale,
+                                           lb, bias, jnp.int32(0), H)
+                return y
+            return jax.jit(f)
+
+        t1 = timeit(chain(1), q, k, v, x, iters=args.iters)
+        tn = timeit(chain(N), q, k, v, x, iters=max(args.iters // 2, 5))
+        print(f"chain: t1={t1:.3f} ms  t{N}={tn:.3f} ms  "
+              f"marginal/call={(tn - t1) / (N - 1):.3f} ms  "
+              f"(dispatch+fixed ~= {t1 - (tn - t1) / (N - 1):.3f} ms)")
     if args.grad:
         g = jax.jit(jax.grad(lambda q, k, v, x: AB.attention_block(
             q, k, v, x, wo, bo, scale, lb, bias, jnp.int32(0), H)
