@@ -336,3 +336,54 @@ class TestMocoPackedParity:
         np.testing.assert_allclose(float(stats_p["stdq"]),
                                    float(stats_u["stdq"]),
                                    rtol=2e-4, atol=2e-5)
+
+    def test_convergence_trajectory_matches_unpacked(self):
+        """Same-step-count convergence check (round-5 ask #1): training
+        5 optimizer steps on the same crop sequence, packed and
+        unpacked runs produce the same loss trajectory at dropout 0 —
+        packing changes the layout, never the optimization."""
+        from czechtriever_tpu.config import Config
+        from czechtriever_tpu.training import optim, state as statelib, steps
+
+        mcfg = bert.BertConfig.tiny(hidden_dropout_prob=0.0,
+                                    attention_probs_dropout_prob=0.0)
+        cfg = Config(queue_size=32, temperature=0.05, momentum=0.99,
+                     projection_size=mcfg.hidden_size, lr=1e-3,
+                     warmup_steps=1, total_steps=10, scheduler="linear")
+        tx = optim.make_optimizer(cfg)
+        step = jax.jit(steps.make_moco_step(cfg, mcfg, tx))
+        rng = np.random.default_rng(11)
+        A, B, L, R = 1, 8, 24, 32
+        st_u = statelib.create_moco_state(jax.random.key(3), cfg, mcfg, tx)
+        st_p = st_u
+        key = jax.random.key(9)
+        losses_u, losses_p = [], []
+        for it in range(5):
+            qs = [_random_crops(rng, B, 4, 17, mcfg.vocab_size)]
+            ks = [_random_crops(rng, B, 4, 17, mcfg.vocab_size)]
+            bu = {"q_tokens": np.stack([_unpacked_batch(s, L)[0]
+                                        for s in qs]),
+                  "q_mask": np.stack([_unpacked_batch(s, L)[1]
+                                      for s in qs]),
+                  "k_tokens": np.stack([_unpacked_batch(s, L)[0]
+                                        for s in ks]),
+                  "k_mask": np.stack([_unpacked_batch(s, L)[1]
+                                      for s in ks])}
+            nb = max(packing.blocks_needed([len(s) for s in side], R)
+                     for side in qs + ks)
+
+            def pk(sides, p):
+                t, s, po, ln = zip(*[packing.pack_sequences(x, R, nb)
+                                     for x in sides])
+                return {f"{p}_tokens": np.stack(t),
+                        f"{p}_seg": np.stack(s),
+                        f"{p}_pos": np.stack(po),
+                        f"{p}_lens": np.stack(ln)}
+
+            bp = {**pk(qs, "q"), **pk(ks, "k")}
+            st_u, su = step(st_u, jax.tree.map(jnp.asarray, bu), key)
+            st_p, sp = step(st_p, jax.tree.map(jnp.asarray, bp), key)
+            losses_u.append(float(su["loss"]))
+            losses_p.append(float(sp["loss"]))
+        np.testing.assert_allclose(losses_p, losses_u,
+                                   rtol=5e-4, atol=5e-4)
