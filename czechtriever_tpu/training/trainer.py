@@ -91,11 +91,13 @@ class Trainer:
         # (4, data-axis size) so the jitted step sees few distinct
         # shapes AND every shape shards evenly over the mesh.
         self._pack_rows = int(getattr(cfg, "pack_rows", 0) or 0)
-        if self._pack_rows and local_batches:
-            # per-process feeds would need a cross-process agreement on
-            # the block count per step; not worth the collective — the
-            # unpacked path stays correct
-            logger.warning("pack_rows is not supported with "
+        if self._pack_rows and local_batches and meshlib.process_count() > 1:
+            # multi-process per-process feeds would need a
+            # cross-process agreement on the per-step block count; not
+            # worth the collective — the unpacked path stays correct.
+            # Single-process local_batches feeds the full global batch,
+            # so packing applies as in global mode.
+            logger.warning("pack_rows is not supported with multi-process "
                            "local_batches feeding; packing disabled")
             self._pack_rows = 0
         if self._pack_rows % 8:
@@ -251,13 +253,15 @@ class Trainer:
                 else:
                     stacked[k] = v.astype(
                         np.uint8 if k.endswith("_mask") else np.uint16)
-        if self.local_batches:
+        if self.local_batches and "q_seg" not in stacked:
             rows = next(iter(stacked.values())).shape[1]
             if rows != self.local_micro:
                 raise ValueError(
                     f"local_batches mode expects {self.local_micro} rows "
                     f"per microbatch on this process, got {rows}")
             return meshlib.global_from_local_microbatches(self.mesh, stacked)
+        # packed batches only reach here single-process (see __init__),
+        # where local rows ARE the global rows — plain sharding applies
         return meshlib.shard_microbatches(self.mesh, stacked)
 
     def train_step(self, micro_batches) -> Dict[str, float]:

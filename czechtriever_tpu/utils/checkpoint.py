@@ -122,7 +122,7 @@ def _save_offloop(state: Any, cfg: Config, path: str, root: str) -> str:
     # to remove), while the jitted copy dispatches asynchronously and
     # executes HBM->HBM. Enqueued before any later donating step, so
     # the copies read the pre-donation buffers.
-    snap = _device_snapshot(state)
+    holder = {"snap": _device_snapshot(state)}
     state_path = os.path.join(path, "state")
     os.makedirs(os.path.join(path), exist_ok=True)
     if os.path.exists(state_path):
@@ -133,7 +133,9 @@ def _save_offloop(state: Any, cfg: Config, path: str, root: str) -> str:
     def work():
         global _thread_error
         try:
-            host = jax.tree.map(np.asarray, snap)  # D2H off the loop
+            # pop so the ~2.6 GB device snapshot frees the moment the
+            # fetch completes, not at the next save's join
+            host = jax.tree.map(np.asarray, holder.pop("snap"))
             ckptr = _ckptr()
             ckptr.save(state_path, host)
             ckptr.wait_until_finished()
