@@ -111,9 +111,14 @@ class Config:
     # out-proj + dropout + residual + LN kernel, ops/attention_block.py
     # — fastest measured train config on v5e, see docs/PERF.md)
     attention_impl: str = "auto"
-    # "fused" runs the FFN half as the fused ffn_block kernel (only
-    # meaningful with attention_impl="flash_block")
-    ffn_impl: str = "xla"
+    # "fused" runs the FFN half as the fused ffn_block kernel — the
+    # default: it is inert unless the layer runs the fused attention
+    # block (explicit attention_impl="flash_block", or packed batches
+    # auto-routed there on TPU), and there it measured +5% train step
+    # (docs/PERF.md). fp accumulation order and dropout streams differ
+    # from the XLA FFN (same caveat class as packing — see the README
+    # numerics note); "xla" restores the old path
+    ffn_impl: str = "fused"
     # encoder layer iteration: "auto" (default) resolves per model depth
     # via resolve_scan_layers — the Python loop for shallow encoders
     # (each layer's saved activations stay standalone buffers instead of
@@ -215,10 +220,13 @@ class Config:
     #   queue_dtype   -> float32   (reference keeps an f32 torch buffer,
     #                               src/moco.py:218-221)
     #   ema_every_step -> False    (per-microbatch EMA, src/moco.py:260-269)
+    #   ffn_impl       -> "xla"    (the fused FFN block changes fp
+    #                               accumulation order/dropout streams)
+    #   pack_rows      -> 0        (length packing likewise)
     # The encoder activation (erf vs tanh gelu) already follows the
-    # checkpoint's config.json, and the attention/FFN kernel choices are
-    # numerics-equivalent (pinned by tests). Applied in __post_init__,
-    # overriding explicit conflicting flags.
+    # checkpoint's config.json; the attention kernel choice is
+    # numerics-equivalent to fp tolerance (pinned by tests). Applied in
+    # __post_init__, overriding explicit conflicting flags.
     parity: bool = False
     dtype: str = "bfloat16"  # compute dtype on the MXU
     param_dtype: str = "float32"
@@ -273,6 +281,10 @@ class Config:
         if self.parity:
             self.queue_dtype = "float32"
             self.ema_every_step = False
+            # fp-accumulation-order deviations (model quality identical,
+            # loss curves not bit-reproducible vs reference numerics)
+            self.ffn_impl = "xla"
+            self.pack_rows = 0
 
     # Alias kept so code written against reference flag names still reads.
     @property

@@ -177,6 +177,8 @@ class TestParityPreset:
         cfg = Config(parity=True)
         assert cfg.queue_dtype == "float32"   # src/moco.py:218-221
         assert cfg.ema_every_step is False    # src/moco.py:260-269
+        assert cfg.ffn_impl == "xla"          # fp accumulation order
+        assert cfg.pack_rows == 0             # length packing likewise
 
     def test_parity_overrides_explicit_conflicts(self):
         cfg = Config.from_args(["--parity", "--queue_dtype", "bfloat16"])
