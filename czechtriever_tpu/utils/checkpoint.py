@@ -221,6 +221,7 @@ def load(abstract_state: Any, ckpt_path: str) -> Tuple[Any, Config]:
     """Restore (state, config) from a checkpoint dir (or the ``latest``
     symlink). ``abstract_state`` provides the pytree structure/shapes —
     create it with the same config via training.state.create_*_state."""
+    wait_pending()  # an explicit-path load may target the in-flight save
     ckpt_path = os.path.realpath(ckpt_path)
     cfg = Config.load(os.path.join(ckpt_path, "config.json"))
     ckptr = _ckptr()

@@ -78,6 +78,10 @@ class TestTrainer:
         t = Trainer(cfg, tiny_mcfg())
         t.fit(micro_epoch(0, 100, t.global_micro, 16, 211))
         t.save("lastlog")
+        # async saves flip `latest` only once the commit is confirmed
+        # (TestAsyncCheckpoint pins that contract); wait it out here
+        from czechtriever_tpu.utils import checkpoint as ckpt_mod
+        ckpt_mod.wait_pending()
         assert os.path.islink(str(tmp_path / "checkpoint" / "latest"))
 
         t2 = Trainer(cfg.replace(total_steps=5), tiny_mcfg())

@@ -174,7 +174,7 @@ def main() -> None:
         rows.append(dict(engine="pq(k=10)", Q=Q, qps=round(qps10, 1),
                          recall10=r10b))
         print(rows[-1], file=sys.stderr)
-        for rf in (10,):
+        for rf in (10, 100):
             for bname, base in (("pq", pq), (f"ivfpq(np={nprobes[0]})",
                                              ivf)):
                 ref = RefinedIndex(base, refine_factor=rf)
