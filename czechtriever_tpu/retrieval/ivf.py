@@ -50,7 +50,15 @@ the corpus fits HBM — it is exact AND faster than both PQ engines at
 (~4-5M rows f32, ~8M bf16 per 16 GB chip; 96 B/row PQ reaches ~150M),
 preferring IVF-PQ at small serving batches. Raising nprobe past ~8 is
 NOT the recall lever at m=96 — recall@100 is flat in nprobe while QPS
-falls; the quantization ceiling (m, n_bits) dominates.
+falls; the quantization ceiling (m, n_bits) dominates. The recall
+lever is the exact re-rank stage (retrieval/refine.py, round-5): at
+1M x 768 refine(IVF-PQ np=8, R=1000) measures recall@10 0.977 at
+2.46x exhaustive-PQ QPS — the host-side rescore rides under the
+device ADC scan, paying with host RAM for the original store.
+Both compressed engines also shard over the mesh ``data`` axis
+(mesh=...): PQ row-shards the code matrix, IVF-PQ list-shards the
+packed tensors (sharded_union_adc_search), so corpus capacity and
+scan work scale with device count like the flat engine.
 
 List probing selects by the L2-compatible score q.c - ||c||^2/2 (the
 coarse assignment is L2 k-means), while the returned scores use the
