@@ -38,7 +38,14 @@ def resolve_model(cfg: Config, dtype: Optional[str] = None
     """-> (params or None if random init requested, model config,
     tokenizer or None)."""
     dtype = dtype or cfg.dtype
-    from czechtriever_tpu.config import resolve_scan_layers
+    # every CLI resolves its model through here — switch on the
+    # persistent XLA compilation cache so eval/retrieve tools stop
+    # paying ~30-60 s per shape per RUN over the tunnel (bench.py and
+    # the Trainer already did; the eval CLIs measured 2x wall on cold
+    # compiles alone)
+    from czechtriever_tpu.config import (enable_compilation_cache,
+                                         resolve_scan_layers)
+    enable_compilation_cache(getattr(cfg, "compilation_cache_dir", None))
     model_dir = resolve_model_dir(cfg.retriever_model_id)
     tokenizer = None
     if model_dir is not None:

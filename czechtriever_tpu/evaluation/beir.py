@@ -182,9 +182,14 @@ class DenseEncoder:
             # bucket (bounded shape count: R, R+128, ...)
             R = max(self.pack_rows,
                     -(-int(max(lens.max(), 1)) // 128) * 128)
+            # coarse quantum (32): the group-to-group needed-block count
+            # jitters a few percent, and every distinct [nb, R] shape is
+            # one XLA compile — worth far more than the <=31 blocks of
+            # padding at eval (the wall-clock A/B measured compiles, not
+            # FLOPs, as the packed path's overhead at 16k-doc scale)
             nb = packing.quantize_blocks(
                 packing.blocks_needed([len(q) for q in seqs], R),
-                max(8, ws))
+                max(32, ws))
             t, seg, pos, _ = packing.pack_sequences(seqs, R, nb)
             jt, jseg, jpos = (jnp.asarray(a) for a in (t, seg, pos))
             if self.mesh is not None:
