@@ -290,9 +290,28 @@ class WordPieceTokenizer:
                      add_special_tokens: bool = True, padding: bool = True,
                      truncation: bool = True
                      ) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (ids [B, L], mask [B, L]) padded to longest (≤ max_length)."""
-        seqs = [self.encode(t, add_special_tokens, max_length, truncation)
-                for t in texts]
+        """-> (ids [B, L], mask [B, L]) padded to longest (≤ max_length).
+
+        Batches route through the native C++ tokenizer when available
+        (native/wordpiece.cpp — multithreaded greedy WordPiece over the
+        same Unicode tables this class uses; texts the per-char table
+        treatment can't reproduce exactly come back flagged and are
+        re-encoded here). Differential equality is pinned in
+        tests/test_tokenizer.py."""
+        texts = list(texts)
+        native = self._native_batch(texts, max_length, add_special_tokens,
+                                    truncation) if truncation else None
+        if native is not None:
+            out_ids, lens = native
+            seqs = [out_ids[i, :lens[i]] if lens[i] >= 0
+                    else np.asarray(self.encode(texts[i],
+                                                add_special_tokens,
+                                                max_length, truncation),
+                                    np.int32)
+                    for i in range(len(texts))]
+        else:
+            seqs = [self.encode(t, add_special_tokens, max_length,
+                                truncation) for t in texts]
         L = max(len(s) for s in seqs) if padding else max_length
         ids = np.full((len(seqs), L), self.pad_token_id, np.int32)
         mask = np.zeros((len(seqs), L), np.int32)
@@ -300,6 +319,34 @@ class WordPieceTokenizer:
             ids[i, :len(s)] = s
             mask[i, :len(s)] = 1
         return ids, mask
+
+    def _native_batch(self, texts, max_length, add_special_tokens,
+                      truncation):
+        """Native tokenizer call, or None when unavailable / vocab not
+        dense / batch too small to matter."""
+        if len(texts) < 16 or self.unk_token_id is None:
+            return None
+        from czechtriever_tpu.data import native_tokenizer as nt
+        if not nt.available():
+            return None
+        if getattr(self, "_native", None) is None:
+            try:
+                vals = sorted(self.vocab.values())
+                if vals[0] != 0 or vals[-1] != len(vals) - 1:
+                    return None  # sparse ids: keep the Python path
+                self._native = nt.NativeWordPiece(
+                    self.vocab, self.unk_token_id, self.max_word_chars)
+            except Exception:
+                self._native = None
+                return None
+        if self._native is None:
+            return None
+        return self._native.encode_batch(
+            texts, lower=self.do_lower_case, strip=self.strip_accents,
+            add_special=add_special_tokens,
+            cls_id=self.cls_token_id or 0, sep_id=self.sep_token_id or 0,
+            pad_id=self.pad_token_id, max_length=max_length,
+            truncation=truncation)
 
     def __call__(self, texts, **kw):
         if isinstance(texts, str):

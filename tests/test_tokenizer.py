@@ -151,3 +151,65 @@ class TestBatchEncodeAny:
                                      max_length=16)
         assert ids.shape == mask.shape and ids.shape[0] == 2
         assert mask[0].sum() == 5 and mask[1].sum() == 3
+
+
+class TestNativeWordPiece:
+    """Native C++ batch tokenizer (native/wordpiece.cpp) — differential
+    equality against the Python path, including the RISKY-text fallback
+    (context-sensitive Greek sigma) and truncation/special-token
+    semantics."""
+
+    def _vocab(self):
+        words = ("červená kočka skáče přes žlutou řeku a modrý pes běží "
+                 "rychle dolů kolem zeleného stromu").split()
+        vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                 + sorted(set(words))
+                 + ["##ka", "##če", "če", "pes", "b", "##ěž", "##í",
+                    ",", ".", "!", "中"])
+        return {w: i for i, w in enumerate(dict.fromkeys(vocab))}
+
+    def _texts(self):
+        import numpy as np
+        rng = np.random.default_rng(0)
+        words = list(self._vocab())[5:20]
+        texts = [" ".join(rng.choice(words, size=int(n)))
+                 for n in rng.integers(3, 30, size=48)]
+        return texts + ["", "  ", "červená, kočka! běží.", "x" * 150,
+                        "中 kočka 中中", "PŘES ŽLUTOU",
+                        "tab\tand\nnewline", "Σίσυφος kočka",
+                        "neznáméslovo tady", "a" * 99 + " krátké"]
+
+    @pytest.mark.parametrize("lower", [False, True])
+    def test_matches_python_path(self, lower):
+        from czechtriever_tpu.data import native_tokenizer as nt
+        from czechtriever_tpu.data.tokenizer import WordPieceTokenizer
+        if not nt.available():
+            pytest.skip("no C++ toolchain")
+        import numpy as np
+        v = self._vocab()
+        texts = self._texts()
+        tok_n = WordPieceTokenizer(v, do_lower_case=lower)
+        tok_p = WordPieceTokenizer(v, do_lower_case=lower)
+        tok_p._native_batch = lambda *a, **k: None  # force Python
+        for ml in (32, 512):
+            a_ids, a_mask = tok_n.batch_encode(texts, max_length=ml)
+            b_ids, b_mask = tok_p.batch_encode(texts, max_length=ml)
+            np.testing.assert_array_equal(a_ids, b_ids)
+            np.testing.assert_array_equal(a_mask, b_mask)
+
+    def test_no_special_tokens_and_no_padding_paths(self):
+        from czechtriever_tpu.data import native_tokenizer as nt
+        from czechtriever_tpu.data.tokenizer import WordPieceTokenizer
+        if not nt.available():
+            pytest.skip("no C++ toolchain")
+        import numpy as np
+        v = self._vocab()
+        tok = WordPieceTokenizer(v)
+        tok_p = WordPieceTokenizer(v)
+        tok_p._native_batch = lambda *a, **k: None
+        texts = self._texts()
+        a = tok.batch_encode(texts, max_length=16, add_special_tokens=False)
+        b = tok_p.batch_encode(texts, max_length=16,
+                               add_special_tokens=False)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
