@@ -91,20 +91,22 @@ class Trainer:
         # (4, data-axis size) so the jitted step sees few distinct
         # shapes AND every shape shards evenly over the mesh.
         self._pack_rows = int(getattr(cfg, "pack_rows", 0) or 0)
-        if self._pack_rows and local_batches and meshlib.process_count() > 1:
-            # multi-process per-process feeds would need a
-            # cross-process agreement on the per-step block count; not
-            # worth the collective — the unpacked path stays correct.
-            # Single-process local_batches feeds the full global batch,
-            # so packing applies as in global mode.
-            logger.warning("pack_rows is not supported with multi-process "
-                           "local_batches feeding; packing disabled")
-            self._pack_rows = 0
         if self._pack_rows % 8:
             raise ValueError(f"pack_rows must be a multiple of 8, got "
                              f"{self._pack_rows}")
         import math as _math
-        self._pack_quantum = _math.lcm(4, data_size)
+        # multi-process local feeds pack per process: each feed packs
+        # its OWN rows into nb_local blocks (one small host allgather
+        # agrees on the per-step max — the analogue of the DDP
+        # allreduce every reference step already pays), and segment ids
+        # carry a feed-global offset so pooling sees the concatenated
+        # crop order. Single-process (and global feeding) packs the
+        # whole batch directly.
+        self._pack_local = bool(local_batches
+                                and meshlib.process_count() > 1)
+        self._pack_quantum = (_math.lcm(2, n_local_coords)
+                              if self._pack_local
+                              else _math.lcm(4, data_size))
         if self._pack_rows:
             # a crop can be at most max-length tokens; it must fit a block
             logger.info("packing microbatches into %d-row blocks "
@@ -215,6 +217,18 @@ class Trainer:
                 ln = m[f"{p}_mask"].astype(np.int64).sum(axis=1)
                 lens[(i, p)] = ln
                 need = max(need, packing.blocks_needed(ln, R))
+        if self._pack_local:
+            # per-feed packing: agree on the block count (max over all
+            # feeds' needs) so every process's [A, nb, R] local arrays
+            # assemble into one rectangular global batch
+            from jax.experimental import multihost_utils
+            needs = np.asarray(multihost_utils.process_allgather(
+                np.asarray([need], np.int32))).reshape(-1)
+            need = int(needs.max())
+            feed_id, _, _ = meshlib.data_feed_info(self.mesh)
+            seg_offset = feed_id * self.local_micro
+        else:
+            seg_offset = 0
         nb = packing.quantize_blocks(need, self._pack_quantum)
         out = []
         for i, m in enumerate(micro_batches):
@@ -223,6 +237,11 @@ class Trainer:
                 seqs = [m[f"{p}_tokens"][j, :n]
                         for j, n in enumerate(lens[(i, p)])]
                 t, s, po, ln = packing.pack_sequences(seqs, R, nb)
+                if seg_offset:
+                    # feed-global crop ids: pooling runs over the
+                    # concatenated batch, feed f owns rows
+                    # [f*local_micro, (f+1)*local_micro)
+                    s = np.where(s >= 0, s + seg_offset, s)
                 d.update({f"{p}_tokens": t, f"{p}_seg": s,
                           f"{p}_pos": po, f"{p}_lens": ln})
             out.append(d)
@@ -249,6 +268,8 @@ class Trainer:
         if self._u16_wire:
             for k, v in stacked.items():
                 if k.endswith(("_seg", "_pos", "_lens")):
+                    if k.endswith("_seg") and self.global_micro >= 2 ** 15:
+                        continue  # feed-global crop ids overflow int16
                     stacked[k] = v.astype(np.int16)
                 else:
                     stacked[k] = v.astype(
@@ -260,8 +281,13 @@ class Trainer:
                     f"local_batches mode expects {self.local_micro} rows "
                     f"per microbatch on this process, got {rows}")
             return meshlib.global_from_local_microbatches(self.mesh, stacked)
-        # packed batches only reach here single-process (see __init__),
-        # where local rows ARE the global rows — plain sharding applies
+        if self._pack_local and "q_seg" in stacked:
+            # packed local feeds: dim 1 is this feed's nb_local blocks
+            # (crop-count checks live in _pack_micros; the block count
+            # was agreed across feeds there)
+            return meshlib.global_from_local_microbatches(self.mesh, stacked)
+        # packed single-process: local rows ARE the global rows —
+        # plain sharding applies
         return meshlib.shard_microbatches(self.mesh, stacked)
 
     def train_step(self, micro_batches) -> Dict[str, float]:

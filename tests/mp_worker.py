@@ -325,6 +325,72 @@ def run_feed(mode: str, proc_id: int, nproc: int, out: str) -> None:
         json.dump(result, f)
 
 
+def run_feedpack(mode: str, proc_id: int, nproc: int, out: str) -> None:
+    """Multi-process LOCAL feeding + length packing (round-5): each
+    process packs only its own variable-length rows; the block count is
+    agreed via one host allgather and segment ids carry feed-global
+    offsets. The oracle is ``feedpack_single`` fed the concatenated
+    batch UNPACKED — identical trainer scalars prove packing across
+    processes changes neither batch membership nor the loss."""
+    import jax
+    import numpy as np
+    import optax
+
+    from czechtriever_tpu.config import Config
+    from czechtriever_tpu.models import bert
+    from czechtriever_tpu.parallel import mesh as meshlib
+    from czechtriever_tpu.training.trainer import Trainer
+
+    packed = mode.endswith("explicit")
+    cfg = Config(queue_size=32, temperature=0.05, momentum=0.99, lr=1e-3,
+                 warmup_steps=0, total_steps=3, scheduler="linear",
+                 projection_size=32, clip_gradients=False,
+                 queue_dtype="float32", per_device_batch_size=4,
+                 target_batch_size=32, log_freq=100, eval_freq=0,
+                 save_freq=0, output_dir=os.path.join(out, f"p{proc_id}"),
+                 save_dir=os.path.join(out, f"p{proc_id}"),
+                 donate_state=False, device_prefetch=False,
+                 pack_rows=24 if packed else 0)
+    mcfg = bert.BertConfig(vocab_size=211, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64,
+                           max_position_embeddings=64, dtype="float32",
+                           hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    mesh = meshlib.make_mesh()
+    feed_id, num_feeds, n_local = meshlib.data_feed_info(mesh)
+    B_local = cfg.per_device_batch_size * n_local
+
+    trainer = Trainer(cfg, mcfg, mesh=mesh, local_batches=True)
+
+    def epoch():
+        # one shared deterministic GLOBAL stream of variable-length
+        # rows; each feed takes its own row block
+        rng = np.random.default_rng(0)
+        for _ in range(6):  # 3 steps x accum 2
+            ids = rng.integers(5, 211, (2, 16, 20)).astype(np.int32)
+            lens = rng.integers(6, 19, size=16)
+            mask = (np.arange(20)[None, :] < lens[:, None]).astype(np.int32)
+            ids = ids * mask[None]
+            rows = slice(feed_id * B_local, (feed_id + 1) * B_local)
+            yield {"q_tokens": ids[0][rows], "q_mask": mask[rows],
+                   "k_tokens": ids[1][rows], "k_mask": mask[rows]}
+
+    trainer.fit(epoch)
+    st = trainer.state
+    result = {
+        "mode": mode, "proc_id": proc_id,
+        "process_count": meshlib.process_count(),
+        "packed": packed,
+        "step": int(np.asarray(st.step)),
+        "queue_ptr": int(np.asarray(st.queue_ptr)),
+        "param_norm": float(jax.jit(optax.global_norm)(st.params_q)),
+        "queue_norm": float(jax.jit(optax.global_norm)(st.queue)),
+    }
+    with open(os.path.join(out, f"proc{proc_id}.json"), "w") as f:
+        json.dump(result, f)
+
+
 def run_cli(mode: str, proc_id: int, nproc: int, out: str) -> None:
     """The ACTUAL trainer CLI run as N OS processes on a shared u16
     stream (the previously untested CLI-level multi-process path). The
@@ -386,7 +452,8 @@ def main() -> None:
     from czechtriever_tpu.training import optim, state as statelib, steps
 
     if mode in ("explicit", "eval_explicit", "distill_explicit",
-                "finetune_explicit", "feed_explicit", "cli_explicit"):
+                "finetune_explicit", "feed_explicit", "cli_explicit",
+                "feedpack_explicit"):
         meshlib.init_distributed(coordinator_address=f"127.0.0.1:{port}",
                                  num_processes=nproc, process_id=proc_id)
     elif mode == "slurm":
@@ -394,6 +461,9 @@ def main() -> None:
 
     if mode.startswith("eval"):
         run_eval(mode, proc_id, nproc, out)
+        return
+    if mode.startswith("feedpack"):
+        run_feedpack(mode, proc_id, nproc, out)
         return
     if mode.startswith("feed"):
         run_feed(mode, proc_id, nproc, out)

@@ -233,3 +233,24 @@ class TestMultiProcess:
         np.testing.assert_allclose(multi[0]["loss"], multi[1]["loss"],
                                    rtol=1e-6)
         assert np.isfinite(multi[0]["loss"])
+
+
+class TestMultiProcessPacking:
+    def test_packed_local_feeds_match_unpacked_oracle(self, tmp_path):
+        """Round-5: two processes pack their OWN local variable-length
+        rows (block count agreed by allgather, feed-global segment
+        ids); scalars must equal the single-process UNPACKED oracle on
+        the concatenated batch — packing across processes changes
+        neither batch membership nor the loss (dropout 0)."""
+        single = _run_workers("feedpack_single", 1, 0, str(tmp_path))[0]
+        assert single["packed"] is False  # oracle runs unpacked
+        multi = _run_workers("feedpack_explicit", 2, _port(37),
+                             str(tmp_path))
+        for r in multi:
+            assert r["process_count"] == 2 and r["packed"] is True
+            assert r["step"] == single["step"] == 3
+            assert r["queue_ptr"] == single["queue_ptr"]
+            np.testing.assert_allclose(r["param_norm"],
+                                       single["param_norm"], rtol=1e-5)
+            np.testing.assert_allclose(r["queue_norm"],
+                                       single["queue_norm"], rtol=1e-5)
