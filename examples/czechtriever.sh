@@ -40,9 +40,12 @@ python -m czechtriever_tpu.cli.train \
     --per_device_batch_size 256 --target_batch_size 2048 \
     --prob_augmentation 0.1 --augmentation delete \
     --eval_datasets fit-eval --eval_datasets_dir "BEIR/datasets" \
-    --save_freq 2000 --seed 69 \
+    --save_freq 2000 --seed 69 --pack_rows 256 \
     --output_dir "logs/$OUT_DIR" --save_dir "/mnt/scratch/$USER/$OUT_DIR"
 # resume is automatic: an existing save_dir/checkpoint/latest is picked up
+# --pack_rows 256: length-packed hot loop (2.21x the reference-plan
+# rate on one v5e; docs/PERF.md round-9). Drop it (or --parity) for
+# bit-reproducible reference numerics.
 
 # ---- variants (mirror the commented torchrun lines in the reference) -------
 # wiki-jsonl source (LazyDataset path):
