@@ -192,7 +192,10 @@ def make_eval_hook(cfg: Config, val_dataset, tokenizer, metrics, mesh):
                 normalize_text=cfg.eval_normalize_text, pooling=cfg.pooling,
                 mesh=mesh, is_main=meshlib.is_main(),
                 score_function=cfg.score_function,
-                batch_size=cfg.per_device_eval_batch_size)
+                batch_size=cfg.per_device_eval_batch_size,
+                # corpus encode dominates the in-training eval's
+                # wall-clock; reuse the trainer's packing row budget
+                pack_rows=cfg.pack_rows)
             logger.info("BEIR %s @%d: %s", dataset, step,
                         {k: round(v, 2) for k, v in res.items()
                          if "@10" in k or "@100" in k})
