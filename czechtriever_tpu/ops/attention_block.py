@@ -86,6 +86,21 @@ def _no_stats() -> bool:
     return os.environ.get("CZT_ATTN_NO_STATS") == "1"
 
 
+def _staged_heads() -> bool:
+    """CZT_ATTN_STAGED=1: restructure the fwd per-head loop into three
+    unit-homogeneous stages — all H QK dots, then all softmax/dropout
+    VPU chains, then all PV dots. Per-head math is independent, so the
+    outputs are BITWISE identical to the interleaved loop; only the
+    schedule Mosaic sees changes. Round-9 attribution parked ~0.49 ms
+    of the fwd kernel on MXU<->VPU serialization across the 12
+    interleaved chains; this is the measured test of whether longer
+    same-unit runs let Mosaic overlap them. VMEM cost: H [Lq, Lk] f32
+    score/prob tiles live at once (+~3 MB at L=256, H=12).
+    Read at trace time."""
+    import os
+    return os.environ.get("CZT_ATTN_STAGED") == "1"
+
+
 def _col_to_row(col, lane_pad):
     """[L, 1] f32 column -> [1, lane_pad] row (sublanes -> lanes).
 
@@ -185,15 +200,15 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, i, b,
     matrix in the pair-packed segmented case."""
     H = n_heads
     D = q_ref.shape[-1] // H
-    outs = []
-    lse_rows = []
-    for h in range(H):
+
+    def qk(h):
         cols = slice(h * D, (h + 1) * D)
-        q = q_ref[i, :, cols]
-        k = k_ref[i, :, cols]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(q_ref[i, :, cols], k_ref[i, :, cols],
+                                (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * (1.0 / math.sqrt(D)) + bias_row
+        return s * (1.0 / math.sqrt(D)) + bias_row
+
+    def softmax_drop(h, s):
         if _no_softmax():                 # timing A/B — wrong numerics
             m = jnp.zeros((s.shape[0], 1), jnp.float32)
             p = s
@@ -205,11 +220,31 @@ def _mha_ctx(q_ref, k_ref, v_ref, bias_row, lse_ref, seed_ref, i, b,
         if not deterministic and rate > 0.0:
             keep = _keep_mask(seed_ref[0] + b * H + h, rate, p.shape)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        return p, m, l
+
+    def pv(h, p, l):
+        cols = slice(h * D, (h + 1) * D)
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[i, :, cols],
                     preferred_element_type=jnp.float32)
-        outs.append((o / l).astype(q_ref.dtype))
+        return (o / l).astype(q_ref.dtype)
+
+    outs = []
+    lse_rows = []
+    if _staged_heads():
+        # three unit-homogeneous stages (see _staged_heads)
+        scores = [qk(h) for h in range(H)]
+        pml = [softmax_drop(h, scores[h]) for h in range(H)]
+        outs = [pv(h, p, l) for h, (p, _, l) in enumerate(pml)]
         if save_stats and not _no_stats():
-            lse_rows.append(_col_to_row(m + jnp.log(l), lse_ref.shape[-1]))
+            lse_rows = [_col_to_row(m + jnp.log(l), lse_ref.shape[-1])
+                        for (_, m, l) in pml]
+    else:
+        for h in range(H):
+            p, m, l = softmax_drop(h, qk(h))
+            outs.append(pv(h, p, l))
+            if save_stats and not _no_stats():
+                lse_rows.append(
+                    _col_to_row(m + jnp.log(l), lse_ref.shape[-1]))
     if save_stats and not _no_stats():
         lse_ref[i] = jnp.concatenate(lse_rows, axis=0)
     return jnp.concatenate(outs, axis=-1)  # [Lq, HD]

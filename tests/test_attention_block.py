@@ -261,3 +261,17 @@ class TestBlockBatch:
         assert np.array_equal(np.asarray(out1), np.asarray(out2))
         assert np.array_equal(np.asarray(out1), np.asarray(out4))
         assert np.array_equal(np.asarray(out1), np.asarray(out3))
+
+
+class TestStagedHeads:
+    def test_staged_bitwise_equals_interleaved(self, monkeypatch):
+        """CZT_ATTN_STAGED reorders the per-head schedule only; per-head
+        math is independent, so outputs must be BITWISE identical."""
+        rng = np.random.default_rng(21)
+        args = make_inputs(rng, 2, 3, 64, 32)
+        base = AB.attention_block_interpret(*args, jnp.int32(0), n_heads=3)
+        monkeypatch.setenv("CZT_ATTN_STAGED", "1")
+        staged = AB.attention_block_interpret(*args, jnp.int32(0),
+                                              n_heads=3)
+        np.testing.assert_array_equal(np.asarray(base),
+                                      np.asarray(staged))

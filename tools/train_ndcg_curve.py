@@ -184,6 +184,10 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--eval_freq", type=int, default=100)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--pack_rows", type=int, default=0,
+                   help="run the trainer with length packing (round-5 "
+                        "hot loop); the curve then certifies packed "
+                        "training QUALITY, not just throughput")
     p.add_argument("--quick", action="store_true",
                    help="tiny CPU smoke run of the whole harness")
     args = p.parse_args()
@@ -197,8 +201,10 @@ def main() -> None:
         synth_kw = dict(n_topics=8, eval_docs_per_topic=6, n_queries=16,
                         train_tokens=200_000)
 
+    extra = (["--pack_rows", str(args.pack_rows)]
+             if args.pack_rows else None)
     result = run(args.workdir, args.steps, args.eval_freq, args.batch,
-                 synth_kw=synth_kw)
+                 synth_kw=synth_kw, train_extra=extra)
     print(json.dumps(result))
 
 
