@@ -87,18 +87,32 @@ def _no_stats() -> bool:
 
 
 def _staged_heads() -> bool:
-    """CZT_ATTN_STAGED=1: restructure the fwd per-head loop into three
+    """Staged head schedule (DEFAULT ON; CZT_ATTN_STAGED=0 restores the
+    interleaved loop): the fwd per-head loop restructured into three
     unit-homogeneous stages — all H QK dots, then all softmax/dropout
     VPU chains, then all PV dots. Per-head math is independent, so the
-    outputs are BITWISE identical to the interleaved loop; only the
-    schedule Mosaic sees changes. Round-9 attribution parked ~0.49 ms
-    of the fwd kernel on MXU<->VPU serialization across the 12
-    interleaved chains; this is the measured test of whether longer
-    same-unit runs let Mosaic overlap them. VMEM cost: H [Lq, Lk] f32
-    score/prob tiles live at once (+~3 MB at L=256, H=12).
-    Read at trace time."""
+    outputs are BITWISE identical to the interleaved loop (pinned in
+    tests); only the schedule Mosaic sees changes. Round-9 attribution
+    parked ~0.49 ms of the fwd kernel on MXU<->VPU serialization
+    across the 12 interleaved chains; staging measured fwd marginal
+    1.188 -> 1.014 ms (--chain harness) and +1.5% full train step at
+    bitwise-equal loss. VMEM cost: H [Lq, Lk] f32 score/prob tiles
+    live at once (+~3 MB at L=256, H=12). Read at trace time."""
     import os
-    return os.environ.get("CZT_ATTN_STAGED") == "1"
+    return os.environ.get("CZT_ATTN_STAGED", "1") != "0"
+
+
+def _staged_bwd() -> bool:
+    """Staged backward head schedule (DEFAULT ON;
+    CZT_ATTN_STAGED_BWD=0 restores the interleaved loop): the same
+    unit-homogeneous staging for the backward kernel's per-head chain
+    (all s dots + exps, all dv dots, all dp dots, all ds VPU chains,
+    all dq/dk dots). Measured +4.1% full train step on top of the
+    staged fwd (1878.5 -> 1955.9 pairs/s) at bitwise-identical loss.
+    VMEM cost: H probability (+keep-mask) tiles live at once. Read at
+    trace time."""
+    import os
+    return os.environ.get("CZT_ATTN_STAGED_BWD", "1") != "0"
 
 
 def _col_to_row(col, lane_pad):
@@ -358,15 +372,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
                                    ).astype(dt)
 
         # ---- per-head attention backward (ops/attention.py math) -------
-        for h in range(H):
+        def s_dot(h):
             cols = slice(h * D, (h + 1) * D)
-            q = q_ref[i, :, cols]
-            k = k_ref[i, :, cols]
-            v = v_ref[i, :, cols]
-            do = dctx[:, cols]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+            s = jax.lax.dot_general(q_ref[i, :, cols], k_ref[i, :, cols],
+                                    (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s * (1.0 / math.sqrt(D)) + bias_row
+            return s * (1.0 / math.sqrt(D)) + bias_row
+
+        def probs(h, s):
             if _no_softmax():             # timing A/B — wrong numerics
                 p = s - _row_to_col(lse_ref[i, h:h + 1, :], Lq)
             else:
@@ -375,29 +388,58 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, x_ref, w_ref, bo_ref,
                 keep = _keep_mask(seed_ref[0] + b * H + h, attn_rate,
                                   p.shape)
                 inv = 1.0 / (1.0 - attn_rate)
-                pd = jnp.where(keep, p * inv, 0.0)
-                dv_ref[i, :, cols] = jax.lax.dot_general(
-                    pd.astype(dt), do, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-                dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-                dp = jnp.where(keep, dpd * inv, 0.0)
-            else:
-                dv_ref[i, :, cols] = jax.lax.dot_general(
-                    p.astype(dt), do, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
+                return p, keep, inv
+            return p, None, 1.0
+
+        def dv_write(h, p, keep, inv):
+            cols = slice(h * D, (h + 1) * D)
+            pd = (jnp.where(keep, p * inv, 0.0)
+                  if keep is not None else p)
+            dv_ref[i, :, cols] = jax.lax.dot_general(
+                pd.astype(dt), dctx[:, cols], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+        def dp_dot(h, keep, inv):
+            cols = slice(h * D, (h + 1) * D)
+            dpd = jax.lax.dot_general(dctx[:, cols], v_ref[i, :, cols],
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            return jnp.where(keep, dpd * inv, 0.0) if keep is not None \
+                else dpd
+
+        def ds_vpu(p, dp):
             row = jnp.sum(dp * p, axis=-1, keepdims=True)
-            ds = (p * (dp - row)).astype(dt)
+            return (p * (dp - row)).astype(dt)
+
+        def dqk_write(h, ds):
+            cols = slice(h * D, (h + 1) * D)
             sc = 1.0 / math.sqrt(D)
             dq_ref[i, :, cols] = (
-                jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                jnp.dot(ds, k_ref[i, :, cols],
+                        preferred_element_type=jnp.float32)
                 * sc).astype(dq_ref.dtype)
             dk_ref[i, :, cols] = (
-                jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                jax.lax.dot_general(ds, q_ref[i, :, cols],
+                                    (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
                 * sc).astype(dk_ref.dtype)
+
+        if _staged_bwd():
+            # unit-homogeneous stages (see _staged_bwd)
+            pkl = [probs(h, s_dot(h)) for h in range(H)]
+            for h, (p, keep, inv) in enumerate(pkl):
+                dv_write(h, p, keep, inv)
+            dps = [dp_dot(h, keep, inv)
+                   for h, (_, keep, inv) in enumerate(pkl)]
+            dss = [ds_vpu(p, dp) for (p, _, _), dp in zip(pkl, dps)]
+            for h, ds in enumerate(dss):
+                dqk_write(h, ds)
+        else:
+            for h in range(H):
+                p, keep, inv = probs(h, s_dot(h))
+                dv_write(h, p, keep, inv)
+                ds = ds_vpu(p, dp_dot(h, keep, inv))
+                dqk_write(h, ds)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
