@@ -53,6 +53,25 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128  # pad L to a lane multiple for clean tiling
 
 
+def _staged() -> bool:
+    """Staged head schedule for THIS kernel (CZT_FLASH_STAGED=1,
+    default OFF): the unit-homogeneous restructure that wins +5.9% on
+    the fused block kernel (ops/attention_block.py, default ON there)
+    measured 14% SLOWER here — fwd 2.504 -> 2.859 ms, fwd+grad 3.971
+    -> 4.436 at B=128, L=256 — because this kernel's (B, head_groups)
+    grid already gives Mosaic small per-program head counts and the
+    extra live [L, L] tiles cost more than the overlap buys. Kept as
+    an opt-in experiment; bitwise identical either way. Read at trace
+    time."""
+    import os
+    return os.environ.get("CZT_FLASH_STAGED") == "1"
+
+
+def _staged_bwd() -> bool:
+    import os
+    return os.environ.get("CZT_FLASH_STAGED", "0") == "1"
+
+
 def naive_attention(q, k, v, bias, dropout_rate: float = 0.0,
                     dropout_rng: Optional[jax.Array] = None,
                     deterministic: bool = True):
@@ -126,15 +145,17 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref,
     g = pl.program_id(1)
     D = q_ref.shape[-1] // heads_per_group
     bias_row = bias_ref[0, 0][None, :]
-    for i in range(heads_per_group):
+
+    def qk(i):
         cols = slice(i * D, (i + 1) * D)
         # MXU contractions on the input dtype with f32 accumulation:
         # bit-identical to upcasting bf16->f32 first, several times faster
-        q = q_ref[0, :, cols]                           # [L, D]
-        k = k_ref[0, :, cols]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(q_ref[0, :, cols], k_ref[0, :, cols],
+                                (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * (1.0 / math.sqrt(D)) + bias_row
+        return s * (1.0 / math.sqrt(D)) + bias_row
+
+    def softmax_drop(i, s):
         m = jnp.max(s, axis=-1)                   # [L]
         p = jnp.exp(s - m[:, None])               # unnormalized probs
         l = jnp.sum(p, axis=-1)                   # [L]
@@ -143,6 +164,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref,
             keep = _keep_mask(seed_ref[0] + b * total_heads + h_global,
                               rate, p.shape)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        return p, m, l
+
+    def pv_write(i, p, m, l):
+        cols = slice(i * D, (i + 1) * D)
         # fold the 1/l softmax normalization into the [L, D] epilogue
         # instead of dividing the [L, L] prob tile
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, cols],
@@ -150,6 +175,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref,
         o_ref[0, :, cols] = (o / l[:, None]).astype(o_ref.dtype)
         m_ref[0, 0, i] = m
         l_ref[0, 0, i] = l
+
+    if _staged():
+        pml = [softmax_drop(i, qk(i)) for i in range(heads_per_group)]
+        for i, (p, m, l) in enumerate(pml):
+            pv_write(i, p, m, l)
+    else:
+        for i in range(heads_per_group):
+            p, m, l = softmax_drop(i, qk(i))
+            pv_write(i, p, m, l)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, m_ref, l_ref,
@@ -161,48 +195,65 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, m_ref, l_ref,
     scale = 1.0 / math.sqrt(D)
     bias_row = bias_ref[0, 0][None, :]
     dt = q_ref.dtype
-    for i in range(heads_per_group):
+
+    def probs(i):
         cols = slice(i * D, (i + 1) * D)
-        q = q_ref[0, :, cols]
-        k = k_ref[0, :, cols]
-        v = v_ref[0, :, cols]
-        do = do_ref[0, :, cols]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(q_ref[0, :, cols], k_ref[0, :, cols],
+                                (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * scale + bias_row
         p = (jnp.exp(s - m_ref[0, 0, i][:, None])
              / l_ref[0, 0, i][:, None])
-
         if not deterministic and rate > 0.0:
             h_global = g * heads_per_group + i
             keep = _keep_mask(seed_ref[0] + b * total_heads + h_global,
                               rate, p.shape)
-            inv = 1.0 / (1.0 - rate)
-            pd = jnp.where(keep, p * inv, 0.0)   # dropped probs (fwd value)
-            # dv = P^T dO: contract over the query dim, no transpose
-            dv_ref[0, :, cols] = jax.lax.dot_general(
-                pd.astype(dt), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-            dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            dp = jnp.where(keep, dpd * inv, 0.0)
-        else:
-            dv_ref[0, :, cols] = jax.lax.dot_general(
-                p.astype(dt), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            return p, keep, 1.0 / (1.0 - rate)
+        return p, None, 1.0
 
+    def dv_write(i, p, keep, inv):
+        cols = slice(i * D, (i + 1) * D)
+        pd = jnp.where(keep, p * inv, 0.0) if keep is not None else p
+        # dv = P^T dO: contract over the query dim, no transpose
+        dv_ref[0, :, cols] = jax.lax.dot_general(
+            pd.astype(dt), do_ref[0, :, cols], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+    def dp_dot(i, keep, inv):
+        cols = slice(i * D, (i + 1) * D)
+        dpd = jax.lax.dot_general(do_ref[0, :, cols], v_ref[0, :, cols],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return jnp.where(keep, dpd * inv, 0.0) if keep is not None else dpd
+
+    def dqk_write(i, p, dp):
+        cols = slice(i * D, (i + 1) * D)
         # softmax vjp: dS = P * (dP - sum(dP * P, axis=-1))
         row = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = (p * (dp - row)).astype(dt)
         dq_ref[0, :, cols] = (
-            jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            jnp.dot(ds, k_ref[0, :, cols],
+                    preferred_element_type=jnp.float32)
             * scale).astype(dq_ref.dtype)
         dk_ref[0, :, cols] = (
-            jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+            jax.lax.dot_general(ds, q_ref[0, :, cols],
+                                (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             * scale).astype(dk_ref.dtype)
+
+    if _staged_bwd():
+        pkl = [probs(i) for i in range(heads_per_group)]
+        for i, (p, keep, inv) in enumerate(pkl):
+            dv_write(i, p, keep, inv)
+        dps = [dp_dot(i, keep, inv)
+               for i, (_, keep, inv) in enumerate(pkl)]
+        for i, ((p, _, _), dp) in enumerate(zip(pkl, dps)):
+            dqk_write(i, p, dp)
+    else:
+        for i in range(heads_per_group):
+            p, keep, inv = probs(i)
+            dv_write(i, p, keep, inv)
+            dqk_write(i, p, dp_dot(i, keep, inv))
 
 
 def _pad_l(x, L_pad, axis):
