@@ -54,6 +54,14 @@ _ROWS_TARGET = int(os.environ.get("CZT_FFN_GROUP_ROWS", "0"))
 # gelu from the saved pre) is unaffected.
 _FWD_F_CHUNKS = int(os.environ.get("CZT_FFN_FWD_CHUNKS", "4"))
 
+# CZT_FFN_BWD_CHUNKS (default 1 = off): the same F-dim chunk interleave
+# for the backward — per chunk: pre_c -> gelu_c -> dW2 rows -> da_c ->
+# gelu'_c -> dW1/db1 cols -> dx partial. dW1/dW2/db1 splits are pure
+# output-dim tiling (bitwise); dx accumulates over chunks, which
+# reorders its f32 contraction sum — tolerance-level, NOT bitwise.
+# Flip the default only on a measured step-level win.
+_BWD_F_CHUNKS = int(os.environ.get("CZT_FFN_BWD_CHUNKS", "1"))
+
 # Save `pre` as a residual (1) or recompute x@W1+b1 in the backward
 # kernel (0, default). The save costs [B, L, F] bf16 HBM each way PLUS
 # the layer scan's stacking-DUS copies; recompute costs one extra MXU
@@ -234,31 +242,46 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, w2_ref, sc_ref, *refs,
     dout_b = dout.astype(dt)
 
     x = x_ref[...].reshape(-1, D)
-    if save_pre:
-        pre = pre_ref[...].reshape(-1, F).astype(jnp.float32)
-    else:
-        # recompute x@W1+b1 and round through bf16 exactly as the
-        # forward stored it (N-dim tiling never changes accumulation
-        # order, so this is bitwise the saved residual)
-        pre = (jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
-               + b1_ref[...].astype(jnp.float32)[None, :]
-               ).astype(dt).astype(jnp.float32)
-    a = _gelu(pre, tanh_gelu).astype(dt)
-    # dW2 = a^T @ dout (contract over L); db2
-    dw2_ref[...] += jax.lax.dot_general(
-        a, dout_b, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
     db2_ref[...] += jnp.sum(dout, axis=0)
-    # da = dout @ W2^T; dpre = da * gelu'(pre)
-    da = jax.lax.dot_general(dout_b, w2_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dpre = (da * _gelu_grad(pre, tanh_gelu)).astype(dt)
-    dw1_ref[...] += jax.lax.dot_general(
-        x, dpre, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db1_ref[...] += jnp.sum(dpre.astype(jnp.float32), axis=0)
-    dx_mm = jax.lax.dot_general(dpre, w1_ref[...], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    nc = (_BWD_F_CHUNKS
+          if (_BWD_F_CHUNKS > 1 and F % _BWD_F_CHUNKS == 0
+              and (F // _BWD_F_CHUNKS) % 128 == 0) else 1)
+    C = F // nc
+    dx_mm = jnp.zeros((x.shape[0], D), jnp.float32)
+    for c in range(nc):
+        cols = slice(c * C, (c + 1) * C)
+        if save_pre:
+            pre = pre_ref[...].reshape(-1, F)[:, cols].astype(jnp.float32)
+        elif nc == 1:
+            # recompute x@W1+b1 and round through bf16 exactly as the
+            # forward stored it (N-dim tiling never changes accumulation
+            # order, so this is bitwise the saved residual)
+            pre = (jnp.dot(x, w1_ref[...],
+                           preferred_element_type=jnp.float32)
+                   + b1_ref[...].astype(jnp.float32)[None, :]
+                   ).astype(dt).astype(jnp.float32)
+        else:
+            pre = (jnp.dot(x, w1_ref[:, cols],
+                           preferred_element_type=jnp.float32)
+                   + b1_ref[cols].astype(jnp.float32)[None, :]
+                   ).astype(dt).astype(jnp.float32)
+        a = _gelu(pre, tanh_gelu).astype(dt)
+        # dW2 rows = a^T @ dout (contract over L)
+        dw2_ref[cols, :] += jax.lax.dot_general(
+            a, dout_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # da = dout @ W2^T; dpre = da * gelu'(pre)
+        da = jax.lax.dot_general(dout_b, w2_ref[cols, :],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dpre = (da * _gelu_grad(pre, tanh_gelu)).astype(dt)
+        dw1_ref[:, cols] += jax.lax.dot_general(
+            x, dpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db1_ref[cols] += jnp.sum(dpre.astype(jnp.float32), axis=0)
+        dx_mm = dx_mm + jax.lax.dot_general(
+            dpre, w1_ref[:, cols], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     dx_ref[...] = (dz + dx_mm).astype(dx_ref.dtype).reshape(dx_ref.shape)
 
 
