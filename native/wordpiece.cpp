@@ -21,6 +21,7 @@
 // passage through HF); the reference outsources this to the tokenizers
 // Rust crate, we implement it natively.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -145,27 +146,25 @@ bool encode_one(const Vocab& v, const Tables& t, const uint32_t* cps,
   // pass 4: token scan (word = run of non-space non-single; punct/CJK
   // are single-char tokens) + wordpiece per token
   std::vector<uint32_t> word;
-  auto flush = [&](bool* ok) {
+  auto flush = [&]() {
     if (!word.empty()) {
       if (!wordpiece(v, word, ids)) ids->push_back(v.unk_id);
       word.clear();
     }
-    (void)ok;
   };
-  bool ok = true;
   for (uint32_t cp : buf) {
     const uint8_t c = t.cls[cp];
     if (cp == 32u) {
-      flush(&ok);
+      flush();
     } else if (c & (kPunct | kCjk)) {
-      flush(&ok);
+      flush();
       word.push_back(cp);
-      flush(&ok);
+      flush();
     } else {
       word.push_back(cp);
     }
   }
-  flush(&ok);
+  flush();
   return true;
 }
 
