@@ -92,21 +92,33 @@ def packed_flops_per_pair(mcfg, lengths, queue_size: int, remat) -> float:
     return float(per_crop.mean()) + queue_mm
 
 
-def build_packed_batch(rng, batch: int, accum: int, rows: int):
+def build_packed_batch(rng, batch: int, accum: int, rows: int,
+                       rebalance: bool = False):
     """Synthetic packed microbatches at the recipe crop distribution.
 
     Returns the packed batch dict ([A, nb, R] arrays + [A, N] lengths)
     and the flat length samples for the MFU accounting. nb is the max
     FFD block count over all 2A microbatch packings, quantized so a real
-    trainer would see few distinct shapes."""
+    trainer would see few distinct shapes. ``rebalance`` applies the
+    opt-in cross-microbatch pair reassignment (Config.pack_rebalance,
+    data/packing.py rebalance_assignment) the trainer would."""
     from czechtriever_tpu.data import packing
     lens = recipe_lengths(rng, (2, accum, batch))
+    flat_lens = lens.reshape(2, accum * batch)
+    # flat generation in (side, a, b) order keeps the rng stream — and
+    # therefore the non-rebalanced batch — bit-identical across modes
+    seqs_flat = [[rng.integers(5, 30000, size=int(n)).astype(np.int32)
+                  for n in flat_lens[side]] for side in range(2)]
+    if rebalance:
+        bins = packing.rebalance_assignment(
+            flat_lens[0], flat_lens[1], accum, batch)
+    else:
+        bins = [np.arange(a * batch, (a + 1) * batch) for a in range(accum)]
     packs = {}
     nb_needed = 0
     for side in range(2):
         for a in range(accum):
-            seqs = [rng.integers(5, 30000, size=int(n)).astype(np.int32)
-                    for n in lens[side, a]]
+            seqs = [seqs_flat[side][int(i)] for i in bins[a]]
             packs[(side, a)] = seqs
             nb_needed = max(nb_needed, packing.blocks_needed(
                 [len(s) for s in seqs], rows))
@@ -114,9 +126,11 @@ def build_packed_batch(rng, batch: int, accum: int, rows: int):
     # (the block count is set by the max-need microbatch, 43-44 at
     # B=128/R=256, not by the quantum; density 0.886 either way). The
     # residual ~11% slack is cross-microbatch variance — all A
-    # microbatches stack to the worst packing's nb — which parity
-    # forbids fixing (rebalancing crops across microbatches would
-    # change batch membership and the MoCo queue order).
+    # microbatches stack to the worst packing's nb. Strict batch-
+    # membership parity forbids fixing it (rebalancing changes which
+    # keys share a microbatch and the MoCo queue order), which is why
+    # --pack_rebalance is opt-in: LPT reassignment lands every
+    # microbatch at the sum bound (nb 44 -> 42, density 0.928).
     nb = packing.quantize_blocks(nb_needed, 2)
     out = {}
     for prefix, side in (("q", 0), ("k", 1)):
@@ -134,7 +148,8 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
           unroll: int = 1, ema_every_step: bool = False,
           ffn_impl: str = "xla", scan_layers: bool = True,
           dropout: float = 0.1, pack_pairs: bool = True,
-          pack_rows: int = 0, queue_dtype: str = "bfloat16"):
+          pack_rows: int = 0, queue_dtype: str = "bfloat16",
+          pack_rebalance: bool = False):
     import jax
     import jax.numpy as jnp
     from czechtriever_tpu.config import Config, enable_compilation_cache
@@ -170,7 +185,8 @@ def build(batch: int, accum: int, seq: int, queue_size: int, remat,
     rng = np.random.default_rng(0)
     lens = None
     if pack_rows:
-        b, lens, nb = build_packed_batch(rng, batch, accum, pack_rows)
+        b, lens, nb = build_packed_batch(rng, batch, accum, pack_rows,
+                                         rebalance=pack_rebalance)
         print(f"packed: rows={pack_rows} blocks={nb} "
               f"density={lens.sum() / (2 * accum * nb * pack_rows):.3f} "
               f"mean_len={lens.mean():.1f}", file=sys.stderr)
@@ -192,13 +208,13 @@ def run(batch: int, accum: int, seq: int, queue_size: int, steps_n: int,
         ema_every_step: bool = False, ffn_impl: str = "xla",
         scan_layers: bool = True, dropout: float = 0.1,
         pack_pairs: bool = True, pack_rows: int = 0,
-        queue_dtype: str = "bfloat16"):
+        queue_dtype: str = "bfloat16", pack_rebalance: bool = False):
     import jax
     step_fn, st, b, cfg, lens = build(batch, accum, seq, queue_size, remat,
                                       attention_impl, hidden_act, unroll,
                                       ema_every_step, ffn_impl, scan_layers,
                                       dropout, pack_pairs, pack_rows,
-                                      queue_dtype)
+                                      queue_dtype, pack_rebalance)
     rng = jax.random.key(1, impl=cfg.prng_impl)
     # warmup + compile. NOTE: under the axon TPU tunnel,
     # block_until_ready does not actually wait for remote execution —
@@ -292,6 +308,12 @@ def main():
                         "fused-attention row-block; recipe-shape "
                         "lane-padding lever, +8.2%% measured — "
                         "models/bert.py attention_pack_pairs)")
+    p.add_argument("--pack_rebalance", action="store_true",
+                   help="opt-in cross-microbatch pair rebalance for the "
+                        "packed workload (Config.pack_rebalance): packs "
+                        "every microbatch at the sum bound, nb 44 -> 42 "
+                        "at B=128/R=256; changes MoCo batch membership / "
+                        "within-step queue order (epsilon at queue 131k)")
     # fused FFN block (ops/ffn_block.py): 526.3 vs 501.4 pairs/s with
     # the XLA FFN chain (both under flash_block attention)
     args = p.parse_args()
@@ -314,7 +336,8 @@ def main():
                     remat, args.attention, args.gelu, args.unroll,
                     args.ema_every_step, args.ffn,
                     args.layer_loop == "scan", args.dropout,
-                    args.pack_pairs, pack_rows, args.queue_dtype)
+                    args.pack_pairs, pack_rows, args.queue_dtype,
+                    args.pack_rebalance)
                 break
             except Exception as e:
                 oom = ("RESOURCE_EXHAUSTED" in str(e)

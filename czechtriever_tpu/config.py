@@ -246,6 +246,16 @@ class Config:
     # numerics note). Rows must be a multiple of 8; lane-multiple
     # (128/256/384/512) recommended
     pack_rows: int = 0
+    # opt-in cross-microbatch pair rebalance under pack_rows: LPT-
+    # reassigns each step's (q, k) pairs across its microbatches so the
+    # rectangular [A, nb, R] stack packs at the per-micro sum bound
+    # (measured nb 44 -> 42, density 0.886 -> 0.928 at B=128/R=256)
+    # instead of the worst single packing. Unlike plain packing this
+    # CHANGES batch membership — which keys share a microbatch, hence
+    # the MoCo queue's within-step enqueue order (epsilon at queue
+    # 131k) — so it defaults off; the accumulated gradient at dropout 0
+    # remains a mean over the identical pair multiset
+    pack_rebalance: bool = False
     # overlap checkpoint commits with training: the step loop pays only
     # the device->host snapshot (~7 s on the tunneled chip); orbax's
     # background thread does the ~21 s file commit and `latest` flips

@@ -105,6 +105,51 @@ def pack_padded_batch(ids: np.ndarray, mask: np.ndarray, rows: int,
     return pack_sequences(seqs, rows, n_blocks, pad_id)
 
 
+def rebalance_assignment(q_lens: np.ndarray, k_lens: np.ndarray,
+                         n_bins: int, bin_size: int) -> List[np.ndarray]:
+    """LPT-assign pairs to ``n_bins`` equal-size bins to equalize packed
+    block need across microbatches.
+
+    ``q_lens``/``k_lens`` are flat [N] real-length vectors over one
+    optimizer step's pairs (N = n_bins * bin_size); pair i moves as a
+    unit (its q and k crops stay in the same microbatch, so seg j in a
+    microbatch keeps naming one (q, k) pair). Returns per-bin index
+    arrays into the flat pair axis, each exactly ``bin_size`` long —
+    equal counts keep the accumulated mean-loss gradient a mean over
+    the same pair multiset.
+
+    Why this exists: the step's [A, nb, R] stack is rectangular, so nb
+    is the WORST of the 2A per-microbatch packings (measured 43-44
+    blocks vs the 42 per-micro sum bound at B=128/R=256 — density
+    0.886). Longest-processing-time greedy on q+k length drives every
+    microbatch to the sum bound (density ~0.928 at the recipe
+    distribution). This DOES change batch membership — which keys sit
+    together in a microbatch and therefore the MoCo queue's within-step
+    enqueue order — so it is opt-in (Config.pack_rebalance); with a
+    131k queue the ordering perturbation is epsilon-scale, but it is a
+    deviation, unlike plain packing which preserves membership exactly.
+    """
+    q_lens = np.asarray(q_lens, dtype=np.int64).reshape(-1)
+    k_lens = np.asarray(k_lens, dtype=np.int64).reshape(-1)
+    n = q_lens.shape[0]
+    if n != n_bins * bin_size:
+        raise ValueError(f"{n} pairs do not fill {n_bins} x {bin_size}")
+    cost = q_lens + k_lens
+    order = np.argsort(-cost, kind="stable")
+    bins: List[List[int]] = [[] for _ in range(n_bins)]
+    load = np.zeros(n_bins, dtype=np.int64)
+    counts = np.zeros(n_bins, dtype=np.int64)
+    for i in order:
+        # smallest-load bin with space; ties resolve to the lowest bin
+        # index so the assignment is deterministic
+        elig = np.flatnonzero(counts < bin_size)
+        b = int(elig[np.argmin(load[elig])])
+        bins[b].append(int(i))
+        load[b] += int(cost[i])
+        counts[b] += 1
+    return [np.asarray(b, dtype=np.int64) for b in bins]
+
+
 def quantize_blocks(nb: int, quantum: int = 4) -> int:
     """Round a block count up to a shape quantum so the jitted step sees
     only a handful of distinct [A, n_blocks, R] shapes (each new shape

@@ -107,10 +107,19 @@ class Trainer:
         self._pack_quantum = (_math.lcm(2, n_local_coords)
                               if self._pack_local
                               else _math.lcm(4, data_size))
+        # opt-in cross-microbatch rebalance (data/packing.py
+        # rebalance_assignment): equalizes per-microbatch packed block
+        # need so the rectangular [A, nb, R] stack sits at the sum
+        # bound instead of the worst packing. Changes batch membership
+        # (MoCo queue within-step order) — default off, see the Config
+        # comment.
+        self._pack_rebalance = bool(getattr(cfg, "pack_rebalance", False))
         if self._pack_rows:
             # a crop can be at most max-length tokens; it must fit a block
             logger.info("packing microbatches into %d-row blocks "
-                        "(quantum %d)", self._pack_rows, self._pack_quantum)
+                        "(quantum %d%s)", self._pack_rows,
+                        self._pack_quantum,
+                        ", rebalanced" if self._pack_rebalance else "")
 
         rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         if cfg.contrastive_mode == "moco":
@@ -202,6 +211,35 @@ class Trainer:
         return (self.state.params_q if hasattr(self.state, "params_q")
                 else self.state.params)
 
+    def _rebalance_micros(self, micro_batches):
+        """Reassign (q, k) pairs across this step's microbatches so every
+        packing lands at the sum bound (packing.rebalance_assignment).
+        Pairs move jointly (every [B, ...] row-aligned array is permuted
+        with the same index), so seg j still names one pair; only WHICH
+        microbatch a pair shares with others changes. Multi-process
+        local feeds rebalance their own pairs (no cross-process moves)."""
+        from czechtriever_tpu.data import packing
+        A = len(micro_batches)
+        B = micro_batches[0]["q_mask"].shape[0]
+        q_lens = np.concatenate(
+            [m["q_mask"].astype(np.int64).sum(axis=1) for m in micro_batches])
+        k_lens = np.concatenate(
+            [m["k_mask"].astype(np.int64).sum(axis=1) for m in micro_batches])
+        bins = packing.rebalance_assignment(q_lens, k_lens, A, B)
+        flat = {}
+        for key in micro_batches[0]:
+            vals = [m[key] for m in micro_batches]
+            if (isinstance(vals[0], np.ndarray)
+                    and vals[0].ndim >= 1 and vals[0].shape[0] == B):
+                flat[key] = np.concatenate(vals, axis=0)
+        out = []
+        for a in range(A):
+            m = dict(micro_batches[a])
+            for key, arr in flat.items():
+                m[key] = arr[bins[a]]
+            out.append(m)
+        return out
+
     def _pack_micros(self, micro_batches):
         """Pack every microbatch's q/k crops into [nb, R] row blocks
         (data/packing.py). nb is the quantized max over all 2A packings
@@ -210,6 +248,8 @@ class Trainer:
         membership (and the dropout-0 loss) is unchanged."""
         from czechtriever_tpu.data import packing
         R = self._pack_rows
+        if self._pack_rebalance and len(micro_batches) > 1:
+            micro_batches = self._rebalance_micros(micro_batches)
         need = 0
         lens = {}
         for i, m in enumerate(micro_batches):

@@ -84,6 +84,81 @@ def _pack_qkvx(rng, crops_per_block, R, HD):
     return [jnp.asarray(p) for p in packed], jnp.asarray(seg), crops
 
 
+class TestRebalance:
+    """Opt-in cross-microbatch pair rebalance (Config.pack_rebalance)."""
+
+    def test_assignment_is_equal_count_partition(self):
+        rng = np.random.default_rng(3)
+        A, B = 8, 32
+        q = rng.integers(28, 131, size=A * B)
+        k = rng.integers(28, 131, size=A * B)
+        bins = packing.rebalance_assignment(q, k, A, B)
+        assert all(len(b) == B for b in bins)
+        flat = np.sort(np.concatenate(bins))
+        np.testing.assert_array_equal(flat, np.arange(A * B))
+
+    def test_need_never_worse_and_hits_sum_bound(self):
+        # the recipe crop distribution (ratio U[0.1,0.5] of 256 + 2)
+        rng = np.random.default_rng(0)
+        A, B, R = 16, 128, 256
+        lens = (rng.uniform(0.1, 0.5, (2, A, B)) * 256).astype(np.int64) + 2
+        need0 = max(packing.blocks_needed(lens[s, a], R)
+                    for s in range(2) for a in range(A))
+        bins = packing.rebalance_assignment(
+            lens[0].reshape(-1), lens[1].reshape(-1), A, B)
+        flat = lens.reshape(2, A * B)
+        need1 = max(packing.blocks_needed(flat[s][b], R)
+                    for s in range(2) for b in bins)
+        assert need1 <= need0
+        # LPT should land every microbatch at (or within one block of)
+        # its own sum bound
+        sum_bound = max(-(-int(flat[s][b].sum()) // R)
+                        for s in range(2) for b in bins)
+        assert need1 <= sum_bound + 1
+
+    def test_trainer_rebalance_preserves_pairs(self):
+        """_rebalance_micros permutes every row-aligned array with ONE
+        index per pair: the multiset of (q_row, k_row) pairs is exactly
+        preserved, only microbatch membership changes."""
+        import types
+        from czechtriever_tpu.training.trainer import Trainer
+        rng = np.random.default_rng(1)
+        A, B, L = 4, 16, 40
+        micros = []
+        for a in range(A):
+            q_lens = rng.integers(5, L, size=B)
+            k_lens = rng.integers(5, L, size=B)
+            m = {}
+            for p, ln in (("q", q_lens), ("k", k_lens)):
+                ids = np.zeros((B, L), np.int32)
+                mask = np.zeros((B, L), np.int32)
+                for j, n in enumerate(ln):
+                    ids[j, :n] = rng.integers(5, 1000, size=n)
+                    mask[j, :n] = 1
+                m[f"{p}_tokens"] = ids
+                m[f"{p}_mask"] = mask
+            micros.append(m)
+
+        def key(mb, j):
+            return (mb["q_tokens"][j].tobytes(), mb["k_tokens"][j].tobytes())
+
+        before = sorted(key(m, j) for m in micros for j in range(B))
+        out = Trainer._rebalance_micros(types.SimpleNamespace(), micros)
+        after = sorted(key(m, j) for m in out for j in range(B))
+        assert before == after
+        assert all(m["q_tokens"].shape == (B, L) for m in out)
+
+    def test_bench_rebalanced_batch_reduces_blocks(self):
+        import bench
+        rng0 = np.random.default_rng(0)
+        _, lens0, nb0 = bench.build_packed_batch(rng0, 128, 16, 256)
+        rng1 = np.random.default_rng(0)
+        _, lens1, nb1 = bench.build_packed_batch(rng1, 128, 16, 256,
+                                                 rebalance=True)
+        np.testing.assert_array_equal(np.sort(lens0), np.sort(lens1))
+        assert nb1 < nb0  # 42 vs 44 at this seed
+
+
 class TestKernelSegMode:
     def test_interpret_matches_per_crop_composed(self):
         """Packed kernel rows == the unpacked composed reference run on
@@ -243,10 +318,13 @@ class TestDenseEncoderPacked:
 
 
 class TestTrainerPacked:
-    def test_cli_train_with_pack_rows(self, tmp_path):
+    @pytest.mark.parametrize("rebalance", [False, True])
+    def test_cli_train_with_pack_rows(self, tmp_path, rebalance):
         """End-to-end CLI train with --pack_rows: the batcher's padded
         microbatches are packed in Trainer._device_batch, the packed
-        step runs, metrics and the final checkpoint land."""
+        step runs, metrics and the final checkpoint land. The rebalance
+        variant exercises the opt-in cross-microbatch reassignment
+        (accum 8 here, so _rebalance_micros actually runs)."""
         import json
         import os
 
@@ -271,7 +349,8 @@ class TestTrainerPacked:
             "nonexistent-tiny", "--model_config_file", mc,
             "--dtype", "float32", "--projection_size", "32",
             "--val_data_ratio", "0", "--total_steps", "3",
-            "--pack_rows", "24"])
+            "--pack_rows", "24"]
+            + (["--pack_rebalance"] if rebalance else []))
         with open(os.path.join(run, "metrics.jsonl")) as f:
             rows = [json.loads(l) for l in f]
         assert any("train/loss" in r for r in rows)
