@@ -104,9 +104,6 @@ class Trainer:
         # whole batch directly.
         self._pack_local = bool(local_batches
                                 and meshlib.process_count() > 1)
-        self._pack_quantum = (_math.lcm(2, n_local_coords)
-                              if self._pack_local
-                              else _math.lcm(4, data_size))
         # opt-in cross-microbatch rebalance (data/packing.py
         # rebalance_assignment): equalizes per-microbatch packed block
         # need so the rectangular [A, nb, R] stack sits at the sum
@@ -114,6 +111,15 @@ class Trainer:
         # (MoCo queue within-step order) — default off, see the Config
         # comment.
         self._pack_rebalance = bool(getattr(cfg, "pack_rebalance", False))
+        # quantum trade-off: coarser quanta cap the number of distinct
+        # [A, nb, R] compile shapes when the per-step block need
+        # fluctuates (worst-of-2A packings). Under rebalance the need is
+        # pinned at the stable sum bound, so quantum 2 keeps the win
+        # (42 would round back to 44 under quantum 4) at ~3 shapes.
+        base_q = 2 if self._pack_rebalance else 4
+        self._pack_quantum = (_math.lcm(2, n_local_coords)
+                              if self._pack_local
+                              else _math.lcm(base_q, data_size))
         if self._pack_rows:
             # a crop can be at most max-length tokens; it must fit a block
             logger.info("packing microbatches into %d-row blocks "
