@@ -43,9 +43,12 @@ python -m czechtriever_tpu.cli.train \
     --save_freq 2000 --seed 69 --pack_rows 256 \
     --output_dir "logs/$OUT_DIR" --save_dir "/mnt/scratch/$USER/$OUT_DIR"
 # resume is automatic: an existing save_dir/checkpoint/latest is picked up
-# --pack_rows 256: length-packed hot loop (2.21x the reference-plan
+# --pack_rows 256: length-packed hot loop (2.3x the reference-plan
 # rate on one v5e; docs/PERF.md round-9). Drop it (or --parity) for
-# bit-reproducible reference numerics.
+# bit-reproducible reference numerics. Add --pack_rebalance for
+# another +3.2% (2.4x e2e measured) — it reassigns each step's pairs
+# across microbatches (within-step MoCo queue-order deviation,
+# epsilon at queue 131k; docs/PERF.md round-9 continuation).
 
 # ---- variants (mirror the commented torchrun lines in the reference) -------
 # wiki-jsonl source (LazyDataset path):
